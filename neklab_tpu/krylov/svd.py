@@ -1,0 +1,126 @@
+"""Lanczos bidiagonalization SVD over abstract vectors (transient growth).
+
+Golub-Kahan-Lanczos with full CGS2 reorthogonalization of both bases, dense
+SVD of the projected bidiagonal matrix on the host.
+
+Reference parity: LightKrylov `svds` as used by
+`transient_growth_analysis_fixed_point`
+(/root/reference/src/neklab_analysis.f90:136, kdim up to 512).
+Each iteration costs one matvec (forward linearized integration) plus one
+rmatvec (adjoint integration) — SURVEY section 3.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any
+
+import numpy as np
+
+from .eigs import assemble_modes
+from .linop import LinearOperator
+from .space import VectorSpace
+
+logger = logging.getLogger("neklab_tpu.krylov")
+
+Vector = Any
+
+
+@dataclasses.dataclass
+class SvdsResult:
+    s: np.ndarray  # singular values [nsv], descending
+    u_coeffs: np.ndarray  # [m, nsv] left singular vecs in U-basis
+    v_coeffs: np.ndarray  # [m, nsv] right singular vecs in V-basis
+    u_basis: list
+    v_basis: list
+    residuals: np.ndarray
+    n_matvec: int
+
+    def left_vectors(self) -> list[Vector]:
+        return assemble_modes(self.u_basis, self.u_coeffs)
+
+    def right_vectors(self) -> list[Vector]:
+        return assemble_modes(self.v_basis, self.v_coeffs)
+
+
+def svds(
+    op: LinearOperator,
+    space: VectorSpace,
+    nsv: int,
+    kdim: int = 64,
+    tol: float = 1e-6,
+    v0: Vector | None = None,
+    seed: int = 0,
+) -> SvdsResult:
+    """Leading nsv singular triplets of `op` via Lanczos bidiagonalization."""
+    import jax
+
+    if v0 is None:
+        v0 = space.rand(jax.random.PRNGKey(seed))
+    v, _ = space.normalize(v0)
+
+    V = [v]
+    U: list[Vector] = []
+    alphas = np.zeros(kdim)
+    betas = np.zeros(kdim)  # beta[j] couples v_{j+1} to u_j
+    n_mv = 0
+
+    for j in range(kdim):
+        u = op.matvec(V[j])
+        n_mv += 1
+        # u := u - beta_{j-1} u_{j-1}, then full reorth against U
+        u, _ = space.orthogonalize_against(U, u, passes=2)
+        u, a = space.normalize(u)
+        alphas[j] = a
+        U.append(u)
+
+        w = op.rmatvec(U[j])
+        n_mv += 1
+        w, _ = space.orthogonalize_against(V, w, passes=2)
+        w, b = space.normalize(w)
+        betas[j] = b
+        V.append(w)
+
+        # convergence estimate every few iterations once we have nsv values
+        if j + 1 >= max(nsv, 2):
+            B = _bidiag(alphas[: j + 1], betas[:j])
+            ub, s, vbt = np.linalg.svd(B)
+            # residual of triplet i: beta_j * |last component of ub_i|
+            res = betas[j] * np.abs(ub[-1, :nsv])
+            if np.all(res[: min(nsv, len(s))] < tol * max(s[0], 1e-30)):
+                logger.info("svds converged at m=%d", j + 1)
+                return _finalize(U, V, alphas[: j + 1], betas[: j + 1], nsv, n_mv)
+
+    return _finalize(U, V, alphas, betas, nsv, n_mv)
+
+
+def _bidiag(alphas: np.ndarray, betas: np.ndarray) -> np.ndarray:
+    """Projected matrix U^T A V: upper bidiagonal.
+
+    Recurrences: A v_j = beta_{j-1} u_{j-1} + alpha_j u_j  (exact),
+                 A^T u_j = alpha_j v_j + beta_j v_{j+1},
+    so B[j, j] = alpha_j and B[j-1, j] = beta_{j-1}.
+    """
+    B = np.diag(alphas)
+    for j in range(len(betas)):
+        B[j, j + 1] = betas[j]
+    return B
+
+
+def _finalize(U, V, alphas, betas, nsv, n_mv) -> SvdsResult:
+    """alphas: len m; betas: len m (betas[m-1] is the residual coupling)."""
+    m = len(alphas)
+    B = _bidiag(alphas, betas[: m - 1])
+    ub, s, vbt = np.linalg.svd(B)
+    nsv_eff = min(nsv, m)
+    res = (betas[m - 1] if len(betas) >= m else 0.0) * np.abs(ub[-1, :nsv_eff])
+    return SvdsResult(
+        s=s[:nsv_eff],
+        u_coeffs=ub[:, :nsv_eff],
+        v_coeffs=vbt.T[:, :nsv_eff],
+        u_basis=U[:m],
+        v_basis=V[:m],
+        residuals=res,
+        n_matvec=n_mv,
+    )

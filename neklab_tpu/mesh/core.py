@@ -1,0 +1,114 @@
+"""Device-side SEM mesh container.
+
+`SemMesh` bundles everything a jitted kernel needs: geometric factors, the
+gather-scatter (direct-stiffness) numbering, multiplicity weights, and the
+per-field Dirichlet masks. It is a registered pytree so it can be closed over
+or passed through jit/scan; the basis and sizes are static aux data.
+
+Reference parity: the union of Nek5000's GEOM/MASS commons (bm1, jacm1,
+g1m1..g6m1), the gslib gather-scatter handle (dssum/dsavg semantics of
+/root/reference/src/vectors/real_vectors.f90:100-104), and the v1mask/pmask
+boundary masks used by `bcdirvc`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.basis import Basis
+from ..ops.geometry import GeomFactors
+from ..utils.pytrees import pytree_dataclass
+
+
+@pytree_dataclass(meta_fields=("basis", "ndim", "nel", "nglob", "bc"))
+class SemMesh:
+    basis: Basis
+    ndim: int
+    nel: int
+    nglob: int
+    bc: tuple  # tuple of (face-set name, bc-char) pairs — static metadata
+    # geometry (compute dtype)
+    x: jnp.ndarray  # [ndim, nel, ...]
+    jac: jnp.ndarray  # [nel, ...]
+    rx: jnp.ndarray  # [ndim, ndim, nel, ...]
+    bm1: jnp.ndarray  # [nel, ...]
+    g: jnp.ndarray  # [ndim, ndim, nel, ...]
+    xd: jnp.ndarray  # [ndim, nel, ...d]
+    rxd: jnp.ndarray  # [ndim, ndim, nel, ...d]
+    bmd: jnp.ndarray  # [nel, ...d]
+    # connectivity
+    gidx: jnp.ndarray  # int32 [nel, ...] global DOF ids
+    vmult: jnp.ndarray  # [nel, ...] 1/multiplicity
+    # masks: 1.0 on free DOFs, 0.0 on constrained DOFs
+    vmask: jnp.ndarray  # [ndim, nel, ...] velocity component masks
+    pmask: jnp.ndarray  # [nel, ...] pressure mask (0 where p Dirichlet, e.g. outflow)
+    tmask: jnp.ndarray  # [nel, ...] temperature/scalar mask
+    volume: jnp.ndarray  # scalar: total mesh volume
+
+    @property
+    def npts(self) -> int:
+        return self.basis.n**self.ndim
+
+    @property
+    def p_fixed(self) -> bool:
+        """True when the pressure Poisson problem has no Dirichlet DOF
+        (pure Neumann -> nullspace must be projected out)."""
+        return bool(self._p_all_neumann)
+
+    # stored as a static-friendly int in bc metadata instead; see builder.
+    @property
+    def _p_all_neumann(self):
+        return ("__pure_neumann__", "1") in self.bc
+
+
+def build_mesh(
+    geom: GeomFactors,
+    basis: Basis,
+    gidx: np.ndarray,
+    vmask: np.ndarray,
+    pmask: np.ndarray,
+    tmask: np.ndarray | None = None,
+    bc: tuple = (),
+    dtype=jnp.float64,
+) -> SemMesh:
+    """Finalize host-side geometry + connectivity into a device SemMesh."""
+    ndim = geom.ndim
+    nel = geom.x.shape[1]
+    gidx = np.asarray(gidx, dtype=np.int32)
+    nglob = int(gidx.max()) + 1
+
+    # multiplicity: how many element-local copies each global DOF has
+    ones = np.ones(gidx.size)
+    cnt = np.zeros(nglob)
+    np.add.at(cnt, gidx.reshape(-1), ones)
+    vmult = (1.0 / cnt)[gidx.reshape(-1)].reshape(gidx.shape)
+
+    if tmask is None:
+        tmask = np.ones_like(pmask)
+
+    pure_neumann = bool(np.all(pmask > 0.5))
+    bc = tuple(bc) + ((("__pure_neumann__", "1"),) if pure_neumann else ())
+
+    cast = lambda a: jnp.asarray(a, dtype=dtype)
+    return SemMesh(
+        basis=basis,
+        ndim=ndim,
+        nel=nel,
+        nglob=nglob,
+        bc=bc,
+        x=cast(geom.x),
+        jac=cast(geom.jac),
+        rx=cast(geom.rx),
+        bm1=cast(geom.bm1),
+        g=cast(geom.g),
+        xd=cast(geom.xd),
+        rxd=cast(geom.rxd),
+        bmd=cast(geom.bmd),
+        gidx=jnp.asarray(gidx),
+        vmult=cast(vmult),
+        vmask=cast(vmask),
+        pmask=cast(pmask),
+        tmask=cast(tmask),
+        volume=cast((geom.bm1).sum()),
+    )

@@ -1,0 +1,163 @@
+"""Element-local and assembled SEM operators.
+
+All operators act on fields shaped [nel, (t,)s, r] (scalars) or
+[ndim, nel, (t,)s, r] (vector fields). "Weak" operators return residual
+vectors already weighted by quadrature (test-function form, unassembled);
+assembly across element boundaries is the separate `dssum`.
+
+Everything here is linear in the field arguments given a fixed mesh, and
+written only with gather/scatter-add/einsum so the whole stack is exactly
+`jax.linear_transpose`-able — that is how the framework obtains discrete
+adjoints (vs. the reference's hand-coded `convop_adj`,
+/root/reference/src/linops/neklab_linops.f90:287-302).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..mesh.core import SemMesh
+from .tensor import apply_r, apply_s, apply_t, grad_rst, interp_nd, interp_nd_t
+
+__all__ = [
+    "dssum",
+    "dsavg",
+    "grad",
+    "grad_d",
+    "stiffness_local",
+    "helmholtz_local",
+    "wgradp_t",
+    "convect_weak",
+    "convect_volume_weak",
+    "mass_dot",
+]
+
+
+# ---------------------------------------------------------------------------
+# direct-stiffness summation (gather-scatter)
+# ---------------------------------------------------------------------------
+
+
+def dssum(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
+    """Direct-stiffness sum: add all element-local copies of each shared DOF
+    and write the sum back into every copy. Works on [..., nel, pts...] fields
+    with arbitrary leading axes (applied independently per leading index).
+
+    Equivalent of Nek5000 `dssum`/`opdssum` via gslib (SURVEY section 2.2).
+    """
+    lead = f.shape[: f.ndim - mesh.gidx.ndim]
+    flat = f.reshape(lead + (-1,))
+    gsum = jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
+    out = gsum[..., mesh.gidx.reshape(-1)]
+    return out.reshape(f.shape)
+
+
+def dsavg(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
+    """Average shared DOFs (dssum weighted by 1/multiplicity)."""
+    return dssum(mesh, f) * mesh.vmult
+
+
+# ---------------------------------------------------------------------------
+# differential operators
+# ---------------------------------------------------------------------------
+
+
+def grad(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise physical gradient of scalar field u -> [ndim, nel, ...].
+
+    du/dx_j = sum_a rx[a, j] * du/dr_a.
+    """
+    durst = jnp.stack(grad_rst(u, _d(mesh), mesh.ndim))
+    return jnp.einsum("aj...,a...->j...", mesh.rx, durst, precision="highest")
+
+
+def _d(mesh: SemMesh):
+    return jnp.asarray(mesh.basis.d, dtype=mesh.bm1.dtype)
+
+
+def stiffness_local(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
+    """Unassembled weak Laplacian: out = sum_a D_a^T ( sum_b g[a,b] D_b u ).
+
+    This is (grad v, grad u) elementwise — Nek's `axhelm` stiffness part.
+    """
+    d = _d(mesh)
+    du = jnp.stack(grad_rst(u, d, mesh.ndim))  # [ndim(ref), nel, ...]
+    flux = jnp.einsum("ab...,b...->a...", mesh.g, du, precision="highest")
+    dt = d.T
+    if mesh.ndim == 2:
+        return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
+    return apply_r(dt, flux[0]) + apply_s(dt, flux[1]) + apply_t(dt, flux[2])
+
+
+def helmholtz_local(mesh: SemMesh, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
+    """Unassembled Helmholtz operator h1 * A u + h2 * B u (Nek `axhelm`)."""
+    return h1 * stiffness_local(mesh, u) + h2 * mesh.bm1 * u
+
+
+def wgradp_t(mesh: SemMesh, v: jnp.ndarray) -> jnp.ndarray:
+    """Weak 'transpose gradient' of a vector field: rhs_i = (grad phi_i, v).
+
+    rhs = sum_a D_a^T ( w*jac * sum_k rx[a,k] v_k ). Used as the RHS builder
+    of the pressure Poisson solve: (grad phi, grad p) = (grad phi, u_hat)/dt.
+    v: [ndim, nel, ...] -> scalar test residual [nel, ...].
+    """
+    d = _d(mesh)
+    wjac = mesh.bm1  # w * jac
+    flux = jnp.einsum("ak...,k...->a...", mesh.rx, v, precision="highest") * wjac
+    dt = d.T
+    if mesh.ndim == 2:
+        return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
+    return apply_r(dt, flux[0]) + apply_s(dt, flux[1]) + apply_t(dt, flux[2])
+
+
+# ---------------------------------------------------------------------------
+# dealiased convection
+# ---------------------------------------------------------------------------
+
+
+def grad_d(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
+    """Physical gradient of u evaluated on the dealias (Gauss) grid.
+
+    Exact: du/dr is a polynomial representable on the coarse grid, so we
+    differentiate on GLL, interpolate to Gauss, and combine with the exact
+    fine-grid metric rxd.
+    """
+    d = _d(mesh)
+    jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
+    durst = grad_rst(u, d, mesh.ndim)
+    durst_d = jnp.stack([interp_nd(jd, c, mesh.ndim) for c in durst])
+    return jnp.einsum("aj...,a...->j...", mesh.rxd, durst_d, precision="highest")
+
+
+def convect_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Weak-form dealiased convection of scalar u by velocity c:
+
+      out_i = (phi_i, c . grad u)  evaluated on the Gauss dealias grid.
+
+    u: [nel, ...]; c: [ndim, nel, ...] (GLL grid). Returns mass-weighted
+    residual on the GLL grid. Reference: Nek `convop` with dealiasing
+    (lxd grid), used by the linearized kernels at
+    /root/reference/src/linops/neklab_linops.f90:268-313.
+    """
+    jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
+    gu_d = grad_d(mesh, u)  # [ndim, nel, ...d]
+    c_d = jnp.stack([interp_nd(jd, ci, mesh.ndim) for ci in c])
+    s = jnp.einsum("k...,k...->...", c_d, gu_d, precision="highest") * mesh.bmd
+    return interp_nd_t(jd, s, mesh.ndim)
+
+
+def convect_volume_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized `convect_weak` over the leading component axis of u."""
+    return jnp.stack([convect_weak(mesh, ui, c) for ui in u])
+
+
+# ---------------------------------------------------------------------------
+# inner products
+# ---------------------------------------------------------------------------
+
+
+def mass_dot(mesh: SemMesh, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Mass-weighted global inner product sum(u * v * bm1) over all leading
+    axes. For C0 (continuous) fields this equals the assembled L2 product —
+    the reference's `glsc3(u, v, bm1)` (real_vectors.f90:208-233)."""
+    return jnp.sum(u * v * mesh.bm1)

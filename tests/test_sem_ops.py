@@ -1,0 +1,168 @@
+"""MMS tests for the SEM operator core: mass, gradient, stiffness, dssum,
+dealiased convection — on straight and deformed 2-D/3-D box meshes.
+
+The reference has no such unit layer (SURVEY section 4); these play the role
+LightKrylov's and Nek5000's upstream suites play there.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neklab_tpu.mesh.box import box_mesh
+from neklab_tpu.ops import sem
+
+
+def _mesh2d(deform=None, bc=None, order=6):
+    return box_mesh(
+        (3, 2),
+        ((0.0, 2.0), (0.0, 1.0)),
+        bc or {"x-": "W", "x+": "W", "y-": "W", "y+": "W"},
+        order=order,
+        deform=deform,
+    )
+
+
+def _mesh3d():
+    return box_mesh(
+        (2, 2, 2),
+        ((0.0, 1.0), (0.0, 1.0), (0.0, 1.0)),
+        {"x-": "W", "x+": "W", "y-": "W", "y+": "W", "z-": "W", "z+": "W"},
+        order=4,
+    )
+
+
+def _wavy(x):
+    out = x.copy()
+    out[1] = x[1] + 0.05 * np.sin(np.pi * x[0]) * x[1] * (1 - x[1])
+    out[0] = x[0] + 0.03 * np.sin(np.pi * x[1] / 1.0)
+    return out
+
+
+@pytest.mark.parametrize("deform", [None, _wavy])
+def test_volume_and_mass(deform):
+    mesh = _mesh2d(deform)
+    one = jnp.ones_like(mesh.jac)
+    vol = sem.mass_dot(mesh, one, one)
+    if deform is None:
+        assert abs(vol - 2.0) < 1e-12
+    else:
+        # integral of 1 = deformed area; check against quadrature of jac
+        assert abs(vol - float(jnp.sum(mesh.bm1))) < 1e-12
+    # integrate x^2 over [0,2]x[0,1] = 8/3 (straight mesh)
+    if deform is None:
+        f = mesh.x[0] ** 2
+        assert abs(sem.mass_dot(mesh, f, one) - 8.0 / 3.0) < 1e-12
+
+
+def test_grad_exact_poly():
+    mesh = _mesh2d()
+    x, y = mesh.x[0], mesh.x[1]
+    u = x**3 * y + 2 * y**2
+    g = sem.grad(mesh, u)
+    assert float(jnp.max(jnp.abs(g[0] - 3 * x**2 * y))) < 1e-10
+    assert float(jnp.max(jnp.abs(g[1] - (x**3 + 4 * y)))) < 1e-10
+
+
+def test_grad_deformed_linear():
+    # on a curved mesh only fields linear in the nodal coordinates are exactly
+    # in the FE space: grad(a x + b y) must still be exact
+    mesh = _mesh2d(_wavy)
+    x, y = mesh.x[0], mesh.x[1]
+    g = sem.grad(mesh, 2.0 * x - 3.0 * y)
+    assert float(jnp.max(jnp.abs(g[0] - 2.0))) < 1e-10
+    assert float(jnp.max(jnp.abs(g[1] + 3.0))) < 1e-10
+
+
+def test_grad_3d():
+    mesh = _mesh3d()
+    x, y, z = mesh.x
+    u = x**2 * y + y * z**2 + 3 * z
+    g = sem.grad(mesh, u)
+    assert float(jnp.max(jnp.abs(g[0] - 2 * x * y))) < 1e-10
+    assert float(jnp.max(jnp.abs(g[1] - (x**2 + z**2)))) < 1e-10
+    assert float(jnp.max(jnp.abs(g[2] - (2 * y * z + 3)))) < 1e-10
+
+
+@pytest.mark.parametrize("deform", [None, _wavy])
+def test_stiffness_bilinear_form(deform):
+    # v^T A u (local, summed over elements) == integral grad v . grad u
+    mesh = _mesh2d(deform)
+    x, y = mesh.x[0], mesh.x[1]
+    u = x**2 + x * y
+    v = y**2 - 2 * x
+    au = sem.stiffness_local(mesh, u)
+    got = float(jnp.sum(v * au))
+    # exact integral of grad v . grad u over the deformed domain via quadrature
+    gu = sem.grad(mesh, u)
+    gv = sem.grad(mesh, v)
+    want = float(jnp.sum((gu[0] * gv[0] + gu[1] * gv[1]) * mesh.bm1))
+    assert abs(got - want) < 1e-10
+    # symmetry of the local bilinear form
+    av = sem.stiffness_local(mesh, v)
+    assert abs(float(jnp.sum(u * av)) - got) < 1e-10
+
+
+def test_dssum_multiplicity_and_continuity():
+    mesh = _mesh2d()
+    ones = jnp.ones_like(mesh.jac)
+    mult = sem.dssum(mesh, ones)
+    # interior element-face nodes have multiplicity 2, corners up to 4
+    assert float(jnp.max(mult)) == 4.0
+    assert float(jnp.min(mult)) == 1.0
+    assert float(jnp.max(jnp.abs(mult * mesh.vmult - 1.0))) < 1e-14
+    # a globally continuous field is invariant under dsavg
+    f = jnp.sin(mesh.x[0]) * jnp.cos(mesh.x[1])
+    assert float(jnp.max(jnp.abs(sem.dsavg(mesh, f) - f))) < 1e-12
+
+
+def test_dssum_leading_axes():
+    mesh = _mesh2d()
+    f = jnp.stack([mesh.x[0], mesh.x[1]])
+    out = sem.dssum(mesh, f)
+    ref = jnp.stack([sem.dssum(mesh, f[0]), sem.dssum(mesh, f[1])])
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+@pytest.mark.parametrize("deform", [None, _wavy])
+def test_convection_weak(deform):
+    # (v, c . grad u) for polynomial c, u matches quadrature evaluation
+    mesh = _mesh2d(deform)
+    x, y = mesh.x[0], mesh.x[1]
+    u = x**2 * y
+    c = jnp.stack([1.0 + 0 * x + y, x - y])
+    v = x + y**2
+    got = float(jnp.sum(v * sem.convect_weak(mesh, u, c)))
+    gu = sem.grad(mesh, u)
+    cdotgu = c[0] * gu[0] + c[1] * gu[1]
+    want = float(jnp.sum(v * cdotgu * mesh.bm1))
+    assert abs(got - want) < 1e-10
+
+
+def test_periodic_connectivity():
+    mesh = box_mesh(
+        (3, 2),
+        ((0.0, 2 * np.pi), (-1.0, 1.0)),
+        {"x-": "P", "x+": "P", "y-": "W", "y+": "W"},
+        order=5,
+    )
+    # x-periodic: a field sin(x) is continuous across the wrap seam
+    f = jnp.sin(mesh.x[0]) + jnp.cos(mesh.x[1])
+    assert float(jnp.max(jnp.abs(sem.dsavg(mesh, f) - f))) < 1e-12
+    # gidx wraps: global count reduced compared to non-periodic
+    n = mesh.basis.n
+    assert mesh.nglob == (3 * (n - 1)) * (2 * (n - 1) + 1)
+
+
+def test_masks():
+    mesh = _mesh2d(bc={"x-": "v", "x+": "O", "y-": "W", "y+": "SYM"})
+    # velocity mask zero on inflow and walls, free on outflow
+    vm = np.asarray(mesh.vmask)
+    full = vm.reshape(2, 2, 3, 7, 7)  # [ndim, nely, nelx, s, r]
+    assert np.all(full[:, :, 0, :, 0] == 0)  # inflow x-: both comps
+    assert np.all(full[:, 0, :, 0, :] == 0)  # wall y-
+    assert np.all(full[1, -1, :, -1, :] == 0)  # SYM y+: normal comp only
+    assert np.all(full[0, -1, 1:2, -1, 1:-1] == 1)  # SYM tangential free
+    pm = np.asarray(mesh.pmask).reshape(2, 3, 7, 7)
+    assert np.all(pm[:, -1, :, -1] == 0)  # outflow pressure pinned
+    assert np.all(pm[:, 0, :, :] == 1)
