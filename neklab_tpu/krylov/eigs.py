@@ -1,6 +1,8 @@
 """Arnoldi eigensolver with Krylov-Schur restart and CGS2 reorthogonalization.
 
-Pure-Python orchestration over abstract vectors; dense algebra (Schur,
+Python orchestration over abstract vectors; the per-iteration vector algebra
+(batched CGS2 Gram products, basis rotations) is single jitted calls over a
+stacked basis buffer (see space.KrylovBasis). Dense algebra (Schur,
 eigendecomposition of the projected matrix) is host-side numpy/scipy. Each
 matvec is an arbitrarily expensive jitted computation (for the stability
 framework: O(10^2-10^3) time steps of the linearized Navier-Stokes solver).
@@ -20,89 +22,59 @@ import numpy as np
 import scipy.linalg
 
 from .linop import AdjointOperator, LinearOperator
-from .space import VectorSpace, tree_axpby, tree_scale
+from .space import KrylovBasis, VectorSpace
 
 logger = logging.getLogger("neklab_tpu.krylov")
 
 Vector = Any
 
 
-def assemble_modes(basis: list[Vector], coeffs: np.ndarray) -> list[Vector]:
-    """Linear combinations of basis vectors: out[i] = sum_j coeffs[j, i] V[j].
-
-    coeffs may be complex; complex results are returned as pytrees with
-    complex leaves (re/im splitting is the caller's concern).
-    """
-    import jax
-
-    out = []
-    for i in range(coeffs.shape[1]):
-        acc = None
-        for j, v in enumerate(basis):
-            c = coeffs[j, i]
-            if acc is None:
-                acc = jax.tree_util.tree_map(lambda a: c * a, v)
-            else:
-                acc = jax.tree_util.tree_map(lambda a, b: a + c * b, acc, v)
-        out.append(acc)
-    return out
-
-
 @dataclasses.dataclass
 class EigsResult:
     eigvals: np.ndarray  # complex [nev]
     residuals: np.ndarray  # [nev]
-    basis: list  # orthonormal Krylov basis V (len m+1)
+    basis: KrylovBasis  # orthonormal Krylov basis (m+1 filled slots)
     eigvec_coeffs: np.ndarray  # complex [m, nev]: eigvec_i = sum_j coeffs[j,i] V[j]
     n_matvec: int
     converged: np.ndarray  # bool [nev]
 
     def eigenvectors(self) -> list[Vector]:
-        return assemble_modes(self.basis, self.eigvec_coeffs)
+        m = self.eigvec_coeffs.shape[0]
+        sub = KrylovBasis(self.basis.space, None, self.basis.kmax, _stack=self.basis.stack, _k=m)
+        return sub.lincomb_many(self.eigvec_coeffs)
 
 
 def _expand_krylov(
     op: LinearOperator,
     space: VectorSpace,
-    V: list[Vector],
+    V: KrylovBasis,
     H: np.ndarray,
     j0: int,
     j1: int,
     breakdown_tol: float = 1e-12,
 ) -> int:
-    """Arnoldi expansion columns j0..j1-1. Returns number of matvecs done."""
+    """Arnoldi expansion columns j0..j1-1 (V has j0+1 filled slots on entry).
+    Returns the number of matvecs performed."""
+    import jax
+
     n_mv = 0
     for j in range(j0, j1):
         w = op.matvec(V[j])
         n_mv += 1
-        w, h = space.orthogonalize_against(V[: j + 1], w, passes=2)
+        w, h = V.orthogonalize(w, passes=2)
         w, beta = space.normalize(w)
         H[: j + 1, j] = h
         H[j + 1, j] = beta
         if beta < breakdown_tol:
             logger.info("Arnoldi breakdown at column %d (beta=%.3e)", j, beta)
-            # happy breakdown: invariant subspace found; pad with random vector
-            key_vec = space.rand(_np_key(j)) if space.rand_fn else None
-            if key_vec is None:
+            if space.rand_fn is None:
                 V.append(w)
                 return n_mv
-            key_vec, _ = space.orthogonalize_against(V[: j + 1], key_vec, passes=2)
-            key_vec, _ = space.normalize(key_vec)
-            w = key_vec
+            w = space.rand(jax.random.PRNGKey(977 + j))
+            w, _ = V.orthogonalize(w, passes=2)
+            w, _ = space.normalize(w)
         V.append(w)
     return n_mv
-
-
-def _np_key(i: int):
-    import jax
-
-    return jax.random.PRNGKey(977 + i)
-
-
-def _select_p_largest(eigvals: np.ndarray, p: int, which: str) -> np.ndarray:
-    mod = _sort_key(eigvals, which)
-    order = np.argsort(-mod, kind="stable")
-    return order[:p]
 
 
 def _sort_key(ev: np.ndarray, which: str) -> np.ndarray:
@@ -141,9 +113,10 @@ def eigs(
     if nrm == 0:
         raise ValueError("zero start vector")
 
-    V: list[Vector] = [v0]
+    V = KrylovBasis(space, v0, kdim + 1)
+    V.append(v0)
     H = np.zeros((kdim + 1, kdim))
-    k_active = 0  # current factorization size (columns of H filled)
+    k_active = 0  # currently valid columns of H
     n_mv = 0
 
     for cycle in range(maxiter):
@@ -152,9 +125,8 @@ def eigs(
         S = H[:m, :m]
         b = H[m, :m]
 
-        # Ritz values + residuals from the (possibly Krylov-Schur form) S
         evals, evecs = np.linalg.eig(S)
-        res = np.abs(b @ evecs)  # residual norms per Ritz pair
+        res = np.abs(b @ evecs) / np.maximum(np.linalg.norm(evecs, axis=0), 1e-300)
         order = np.argsort(-_sort_key(evals, which), kind="stable")
         evals_sorted = evals[order]
         res_sorted = res[order]
@@ -162,7 +134,7 @@ def eigs(
         result = EigsResult(
             eigvals=evals_sorted[:nev],
             residuals=res_sorted[:nev],
-            basis=V[: m + 1],
+            basis=V,
             eigvec_coeffs=evecs[:, order[:nev]],
             n_matvec=n_mv,
             converged=conv,
@@ -181,8 +153,8 @@ def eigs(
 
         # ---- Krylov-Schur restart ----
         p = min(max(2 * nev, nev + 8), kdim - 2)
-        thresh_idx = _select_p_largest(evals, p, which)
-        thresh = _sort_key(evals, which)[thresh_idx[-1]]
+        keys = _sort_key(evals, which)
+        thresh = np.sort(keys)[::-1][p - 1]
 
         if which == "lm":
             sel = lambda re, im: np.hypot(re, im) >= thresh * (1 - 1e-12)
@@ -192,17 +164,18 @@ def eigs(
         T, Q, sdim = scipy.linalg.schur(S, output="real", sort=sel)
         p_eff = int(sdim)
         if p_eff == 0 or p_eff >= m:
-            p_eff = p  # fallback: no restart benefit, keep p leading anyway
+            p_eff = p
 
-        # rotate basis: V_new[:p_eff] = V[:m] @ Q[:, :p_eff]
-        Vnew = assemble_modes(V[:m], Q[:, :p_eff])
-        Vnew.append(V[m])  # residual vector stays
+        # rotate basis: V_new[:p_eff] = V[:m] @ Q[:, :p_eff]; keep residual vec
+        res_vec = V[m]
+        Vm = KrylovBasis(space, None, V.kmax, _stack=V.stack, _k=m)
+        V = Vm.rotated(Q[:, :p_eff])
+        V.append(res_vec)
         bnew = b @ Q[:, :p_eff]
 
         H = np.zeros((kdim + 1, kdim))
         H[:p_eff, :p_eff] = T[:p_eff, :p_eff]
         H[p_eff, :p_eff] = bnew
-        V = Vnew
         k_active = p_eff
 
     raise RuntimeError("unreachable")

@@ -17,7 +17,7 @@ from typing import Any
 import numpy as np
 
 from .linop import LinearOperator
-from .space import VectorSpace, tree_axpby, tree_scale
+from .space import KrylovBasis, VectorSpace, tree_axpby, tree_scale
 
 logger = logging.getLogger("neklab_tpu.krylov")
 
@@ -67,7 +67,9 @@ def gmres(
                 converged=True,
                 n_restart=restart,
             )
-        V = [tree_scale(1.0 / beta, r)]
+        v1 = tree_scale(1.0 / beta, r)
+        V = KrylovBasis(space, v1, kdim + 1)
+        V.append(v1)
         H = np.zeros((kdim + 1, kdim))
         ym = None
         m_used = 0
@@ -75,7 +77,7 @@ def gmres(
         for j in range(kdim):
             w = apply(V[j])
             n_mv += 1
-            w, h = space.orthogonalize_against(V[: j + 1], w, passes=2)
+            w, h = V.orthogonalize(w, passes=2)
             w, hnext = space.normalize(w)
             H[: j + 1, j] = h
             H[j + 1, j] = hnext
@@ -89,16 +91,9 @@ def gmres(
             if res <= target or hnext < 1e-14:
                 break
         # form the update x += V y
-        upd = None
-        for j in range(m_used):
-            if ym[j] != 0.0:
-                upd = (
-                    tree_scale(ym[j], V[j])
-                    if upd is None
-                    else tree_axpby(1.0, upd, ym[j], V[j])
-                )
-        if upd is not None:
-            x = upd if x is None else tree_axpby(1.0, x, 1.0, upd)
+        sub = KrylovBasis(space, None, V.kmax, _stack=V.stack, _k=m_used)
+        upd = sub.lincomb(ym[:m_used])
+        x = upd if x is None else tree_axpby(1.0, x, 1.0, upd)
         logger.info("gmres restart %d: residual %.3e (target %.3e)", restart, res, target)
         if res <= target:
             return GmresResult(x=x, residual=res, n_matvec=n_mv, converged=True, n_restart=restart)

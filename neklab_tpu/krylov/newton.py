@@ -1,0 +1,111 @@
+"""Inexact Newton-Krylov with pluggable tolerance schedulers.
+
+Solves F(x) = 0 where F is a `NonlinearSystem` (response + Jacobian linop),
+with the inner Jacobian solve done by GMRES at a per-iteration tolerance set
+by the scheduler, and an optional bisection backtracking step.
+
+Reference parity: LightKrylov `newton` + neklab's schedulers
+`nek_constant_tol` / `nek_dynamic_tol`
+(/root/reference/src/systems/neklab_systems.f90:229-335): dynamic tolerance
+= clamp(0.1 * ||r||, target, 1e-4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable
+
+import numpy as np
+
+from .gmres import gmres
+from .linop import NonlinearSystem
+from .space import VectorSpace, tree_axpby, tree_scale
+
+logger = logging.getLogger("neklab_tpu.krylov")
+
+Vector = Any
+
+
+def constant_tol(target: float) -> Callable[[float, int], float]:
+    """The reference's nek_constant_tol: always the target tolerance."""
+    return lambda rnorm, it: target
+
+
+def dynamic_tol(target: float, cap: float = 1e-4, factor: float = 0.1) -> Callable[[float, int], float]:
+    """The reference's nek_dynamic_tol: clamp(factor * ||r||, target, cap)."""
+    return lambda rnorm, it: float(np.clip(factor * rnorm, target, cap))
+
+
+@dataclasses.dataclass
+class NewtonResult:
+    x: Vector
+    residual_norm: float
+    converged: bool
+    iterations: int
+    history: list
+
+
+def newton(
+    system: NonlinearSystem,
+    x0: Vector,
+    space: VectorSpace,
+    tol: float = 1e-6,
+    maxiter: int = 40,
+    scheduler: Callable[[float, int], float] | None = None,
+    gmres_kdim: int = 64,
+    gmres_max_restarts: int = 4,
+    max_bisections: int = 0,
+    callback: Callable | None = None,
+) -> NewtonResult:
+    """Newton iteration on F(x) = 0.
+
+    scheduler(rnorm, iter) -> inner GMRES rtol for this Newton step; defaults
+    to dynamic_tol(tol) matching the reference's recommended scheduler.
+    max_bisections > 0 enables the reference's optional bisection backtracking
+    (LightKrylov newton ifbisect).
+    """
+    if scheduler is None:
+        scheduler = dynamic_tol(tol)
+
+    x = x0
+    r = system.response(x)
+    rnorm = space.norm(r)
+    history = [rnorm]
+    logger.info("newton it 0: |F| = %.6e", rnorm)
+
+    for it in range(1, maxiter + 1):
+        if rnorm < tol:
+            return NewtonResult(x=x, residual_norm=rnorm, converged=True, iterations=it - 1, history=history)
+
+        inner_tol = scheduler(rnorm, it)
+        jac = system.jacobian(x)
+        sol = gmres(
+            jac,
+            tree_scale(-1.0, r),
+            space,
+            kdim=gmres_kdim,
+            rtol=inner_tol,
+            atol=0.1 * tol,
+            max_restarts=gmres_max_restarts,
+        )
+        dx = sol.x
+        if not sol.converged:
+            logger.warning("newton it %d: inner GMRES stalled at %.3e", it, sol.residual)
+
+        alpha = 1.0
+        for bis in range(max_bisections + 1):
+            x_new = tree_axpby(1.0, x, alpha, dx)
+            r_new = system.response(x_new)
+            rnorm_new = space.norm(r_new)
+            if rnorm_new < rnorm or bis == max_bisections:
+                break
+            alpha *= 0.5
+            logger.info("newton it %d: bisect step to alpha=%.3f", it, alpha)
+        x, r, rnorm = x_new, r_new, rnorm_new
+        history.append(rnorm)
+        logger.info("newton it %d: |F| = %.6e (inner tol %.2e)", it, rnorm, inner_tol)
+        if callback is not None:
+            callback(it, x, rnorm)
+
+    return NewtonResult(x=x, residual_norm=rnorm, converged=rnorm < tol, iterations=maxiter, history=history)

@@ -1,7 +1,8 @@
 """Lanczos bidiagonalization SVD over abstract vectors (transient growth).
 
-Golub-Kahan-Lanczos with full CGS2 reorthogonalization of both bases, dense
-SVD of the projected bidiagonal matrix on the host.
+Golub-Kahan-Lanczos with full CGS2 reorthogonalization of both bases (stacked
+buffers, batched Gram products), dense SVD of the projected bidiagonal matrix
+on the host.
 
 Reference parity: LightKrylov `svds` as used by
 `transient_growth_analysis_fixed_point`
@@ -18,9 +19,8 @@ from typing import Any
 
 import numpy as np
 
-from .eigs import assemble_modes
 from .linop import LinearOperator
-from .space import VectorSpace
+from .space import KrylovBasis, VectorSpace
 
 logger = logging.getLogger("neklab_tpu.krylov")
 
@@ -32,16 +32,20 @@ class SvdsResult:
     s: np.ndarray  # singular values [nsv], descending
     u_coeffs: np.ndarray  # [m, nsv] left singular vecs in U-basis
     v_coeffs: np.ndarray  # [m, nsv] right singular vecs in V-basis
-    u_basis: list
-    v_basis: list
+    u_basis: KrylovBasis
+    v_basis: KrylovBasis
     residuals: np.ndarray
     n_matvec: int
 
     def left_vectors(self) -> list[Vector]:
-        return assemble_modes(self.u_basis, self.u_coeffs)
+        m = self.u_coeffs.shape[0]
+        sub = KrylovBasis(self.u_basis.space, None, self.u_basis.kmax, _stack=self.u_basis.stack, _k=m)
+        return sub.lincomb_many(self.u_coeffs)
 
     def right_vectors(self) -> list[Vector]:
-        return assemble_modes(self.v_basis, self.v_coeffs)
+        m = self.v_coeffs.shape[0]
+        sub = KrylovBasis(self.v_basis.space, None, self.v_basis.kmax, _stack=self.v_basis.stack, _k=m)
+        return sub.lincomb_many(self.v_coeffs)
 
 
 def svds(
@@ -60,33 +64,33 @@ def svds(
         v0 = space.rand(jax.random.PRNGKey(seed))
     v, _ = space.normalize(v0)
 
-    V = [v]
-    U: list[Vector] = []
+    V = KrylovBasis(space, v, kdim + 1)
+    V.append(v)
+    U: KrylovBasis | None = None
     alphas = np.zeros(kdim)
-    betas = np.zeros(kdim)  # beta[j] couples v_{j+1} to u_j
+    betas = np.zeros(kdim)  # betas[j]: coupling A^T u_j -> v_{j+1}
     n_mv = 0
 
     for j in range(kdim):
         u = op.matvec(V[j])
         n_mv += 1
-        # u := u - beta_{j-1} u_{j-1}, then full reorth against U
-        u, _ = space.orthogonalize_against(U, u, passes=2)
+        if U is None:
+            U = KrylovBasis(space, u, kdim + 1)
+        u, _ = U.orthogonalize(u, passes=2)
         u, a = space.normalize(u)
         alphas[j] = a
         U.append(u)
 
         w = op.rmatvec(U[j])
         n_mv += 1
-        w, _ = space.orthogonalize_against(V, w, passes=2)
+        w, _ = V.orthogonalize(w, passes=2)
         w, b = space.normalize(w)
         betas[j] = b
         V.append(w)
 
-        # convergence estimate every few iterations once we have nsv values
         if j + 1 >= max(nsv, 2):
             B = _bidiag(alphas[: j + 1], betas[:j])
-            ub, s, vbt = np.linalg.svd(B)
-            # residual of triplet i: beta_j * |last component of ub_i|
+            ub, s, _ = np.linalg.svd(B)
             res = betas[j] * np.abs(ub[-1, :nsv])
             if np.all(res[: min(nsv, len(s))] < tol * max(s[0], 1e-30)):
                 logger.info("svds converged at m=%d", j + 1)
@@ -119,8 +123,8 @@ def _finalize(U, V, alphas, betas, nsv, n_mv) -> SvdsResult:
         s=s[:nsv_eff],
         u_coeffs=ub[:, :nsv_eff],
         v_coeffs=vbt.T[:, :nsv_eff],
-        u_basis=U[:m],
-        v_basis=V[:m],
+        u_basis=U,
+        v_basis=V,
         residuals=res,
         n_matvec=n_mv,
     )

@@ -1,0 +1,159 @@
+"""Dense-matrix unit tests for the Krylov layer — the suite the reference
+outsources to LightKrylov's `fpm test` (SURVEY section 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from neklab_tpu.krylov import (
+    FunctionOperator,
+    NonlinearSystem,
+    cg,
+    constant_tol,
+    dynamic_tol,
+    eigs,
+    euclidean_space,
+    gmres,
+    newton,
+    svds,
+)
+
+
+def _mat_op(a: np.ndarray) -> FunctionOperator:
+    aj = jnp.asarray(a)
+    return FunctionOperator(
+        matvec=lambda x: aj @ x,
+        rmatvec=lambda x: aj.T @ x,
+    )
+
+
+def _spectrum_matrix(n: int, eigvals: np.ndarray, seed=0) -> np.ndarray:
+    """Real matrix with prescribed (conjugate-closed) spectrum."""
+    rng = np.random.default_rng(seed)
+    blocks = []
+    used = 0
+    i = 0
+    while used < n:
+        ev = eigvals[i]
+        if ev.imag > 1e-14:
+            # one 2x2 block represents the conjugate PAIR; the explicitly
+            # listed conjugate partner (negative imag) is skipped below
+            blocks.append(np.array([[ev.real, ev.imag], [-ev.imag, ev.real]]))
+            used += 2
+        elif ev.imag < -1e-14:
+            pass  # conjugate partner of an already-emitted block
+        else:
+            blocks.append(np.array([[ev.real]]))
+            used += 1
+        i += 1
+    d = np.zeros((n, n))
+    o = 0
+    for b in blocks:
+        k = b.shape[0]
+        d[o : o + k, o : o + k] = b
+        o += k
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    return q @ d @ q.T
+
+
+def test_eigs_dense():
+    n = 120
+    lead = np.array([2.0, 1.5 + 0.5j, 1.5 - 0.5j, 1.2, -1.1])
+    rest = np.linspace(0.9, -0.9, n - 5)
+    a = _spectrum_matrix(n, np.concatenate([lead, rest]))
+    space = euclidean_space(rand_template=jnp.zeros(n))
+    res = eigs(_mat_op(a), space, nev=4, kdim=30, tol=1e-9, maxiter=60)
+    assert res.converged.all()
+    got = np.sort_complex(res.eigvals)
+    want = np.sort_complex(np.array([2.0, 1.5 + 0.5j, 1.5 - 0.5j, 1.2]))
+    assert np.max(np.abs(got - want)) < 1e-7
+    # basis orthonormality
+    V = np.stack([np.asarray(res.basis[j]) for j in range(10)])
+    g = V @ V.T
+    assert np.max(np.abs(g - np.eye(10))) < 1e-10
+    # eigenvector residuals ||A x - lambda x||
+    for lam, x in zip(res.eigvals, res.eigenvectors()):
+        xv = np.asarray(x)
+        assert np.linalg.norm(a @ xv - lam * xv) / np.linalg.norm(xv) < 1e-6
+
+
+def test_eigs_adjoint():
+    n = 80
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((n, n)) / np.sqrt(n)
+    space = euclidean_space(rand_template=jnp.zeros(n))
+    direct = eigs(_mat_op(a), space, nev=3, kdim=40, tol=1e-8, maxiter=50)
+    adj = eigs(_mat_op(a), space, nev=3, kdim=40, tol=1e-8, maxiter=50, adjoint=True)
+    # spectrum of A^T equals spectrum of A
+    d = np.sort_complex(direct.eigvals)
+    ad = np.sort_complex(adj.eigvals)
+    assert np.max(np.abs(d - ad)) < 1e-6
+
+
+def test_svds_dense():
+    m = 90
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((m, m))
+    space = euclidean_space(rand_template=jnp.zeros(m))
+    res = svds(_mat_op(a), space, nsv=5, kdim=60, tol=1e-10)
+    want = np.linalg.svd(a, compute_uv=False)[:5]
+    assert np.max(np.abs(res.s - want) / want) < 1e-8
+    # triplet consistency: A v = s u
+    for s, u, v in zip(res.s, res.left_vectors(), res.right_vectors()):
+        uv, vv = np.asarray(u), np.asarray(v)
+        assert np.linalg.norm(a @ vv - s * uv) < 1e-6 * s
+
+
+def test_gmres_dense():
+    n = 100
+    rng = np.random.default_rng(5)
+    a = np.eye(n) + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+    b = rng.standard_normal(n)
+    space = euclidean_space()
+    sol = gmres(_mat_op(a), jnp.asarray(b), space, kdim=40, rtol=1e-10, max_restarts=10)
+    assert sol.converged
+    assert np.linalg.norm(a @ np.asarray(sol.x) - b) < 1e-8
+    # adjoint solve
+    sol_t = gmres(_mat_op(a), jnp.asarray(b), space, kdim=40, rtol=1e-10, adjoint=True)
+    assert np.linalg.norm(a.T @ np.asarray(sol_t.x) - b) < 1e-8
+
+
+def test_cg_dense():
+    n = 60
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((n, n))
+    a = q @ q.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    space = euclidean_space()
+    sol = cg(_mat_op(a), jnp.asarray(b), space, rtol=1e-12)
+    assert sol.converged
+    assert np.linalg.norm(a @ np.asarray(sol.x) - b) < 1e-8
+
+
+class _Quadratic(NonlinearSystem):
+    """F(x) = A x + eps * x.^2 - b, Jacobian A + 2 eps diag(x)."""
+
+    def __init__(self, a, b, eps=0.1):
+        self.a, self.b, self.eps = a, b, eps
+
+    def response(self, x):
+        return self.a @ x + self.eps * x**2 - self.b
+
+    def jacobian(self, x):
+        aj = self.a + 2 * self.eps * jnp.diag(x)
+        return FunctionOperator(matvec=lambda v: aj @ v, rmatvec=lambda v: aj.T @ v)
+
+
+def test_newton_dense():
+    n = 40
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(np.eye(n) * 2 + 0.1 * rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    sys = _Quadratic(a, b)
+    space = euclidean_space()
+    for sched in (constant_tol(1e-12), dynamic_tol(1e-12)):
+        res = newton(sys, jnp.zeros(n), space, tol=1e-10, maxiter=20, scheduler=sched)
+        assert res.converged
+        assert res.residual_norm < 1e-10
+        # superlinear convergence: few iterations, strictly decreasing tail
+        assert res.iterations <= 8
+        assert all(b < a for a, b in zip(res.history, res.history[1:]))
