@@ -37,6 +37,8 @@ class SemMesh:
     xd: jnp.ndarray  # [ndim, nel, ...d]
     rxd: jnp.ndarray  # [ndim, ndim, nel, ...d]
     bmd: jnp.ndarray  # [nel, ...d]
+    bm2: jnp.ndarray  # [nel, ...2] pressure-grid mass
+    binv: jnp.ndarray  # [nel, ...] inverse of the assembled (diagonal) mass
     # connectivity
     gidx: jnp.ndarray  # int32 [nel, ...] global DOF ids
     vmult: jnp.ndarray  # [nel, ...] 1/multiplicity
@@ -87,6 +89,11 @@ def build_mesh(
     if tmask is None:
         tmask = np.ones_like(pmask)
 
+    # assembled mass diagonal (dssum of bm1) and its inverse, per node copy
+    bsum = np.zeros(nglob)
+    np.add.at(bsum, gidx.reshape(-1), geom.bm1.reshape(-1))
+    binv = (1.0 / bsum)[gidx.reshape(-1)].reshape(gidx.shape)
+
     pure_neumann = bool(np.all(pmask > 0.5))
     bc = tuple(bc) + ((("__pure_neumann__", "1"),) if pure_neumann else ())
 
@@ -105,6 +112,8 @@ def build_mesh(
         xd=cast(geom.xd),
         rxd=cast(geom.rxd),
         bmd=cast(geom.bmd),
+        bm2=cast(geom.bm2),
+        binv=cast(binv),
         gidx=jnp.asarray(gidx),
         vmult=cast(vmult),
         vmask=cast(vmask),

@@ -1,0 +1,301 @@
+"""Incompressible Navier-Stokes time stepper: BDFk/EXTk fractional step.
+
+The framework's `nek_advance` (SURVEY section 2.2, first row). One step:
+
+  1. explicit terms: dealiased convection extrapolated to t^{n+1} (EXTk),
+     body forcing (user hook + Boussinesq buoyancy), BDFk mass history;
+  2. implicit Helmholtz solve for each velocity component (and each scalar):
+     (g0/dt) B u + nu A u = rhs, masked CG with Jacobi preconditioning;
+  3. pressure correction: solve E dp = -(g0/dt) (q, div u*), update u and p
+     (P(N)/P(N-2), no pressure BCs — see models/stokes.py).
+
+Everything is a pure function of (mesh, state); `advance` jits a ramped
+BDF1 -> BDF2 -> BDF3 start followed by a lax.scan over the remaining steps, so
+a fixed-horizon integration is ONE compiled XLA program per (mesh, nsteps).
+
+State layout (a pytree; this is also the Krylov vector for the nonlinear
+analysis paths): velocity u[ndim, nel, ...], pressure p[nel, (n-2)^d],
+scalars theta[nscal, nel, ...], plus BDF/EXT history slots — the analog of the
+reference's lagged `v*rst` fields (neklab_vectors.f90:30-35).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..mesh.core import SemMesh
+from ..ops import sem
+from ..utils.pytrees import pytree_dataclass
+from . import stokes
+from .solvers import linear_solve, local_diagonal
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Static solver configuration (closed over by jit; hashable).
+
+    Mirrors the `.par`-file GENERAL/VELOCITY/PRESSURE/TEMPERATURE tiers plus
+    `setup_nek`'s programmatic overrides (SURVEY section 5 config tiers).
+    forcing_fn(mesh, t, u, theta) -> [ndim, nel, ...] strong body force.
+    source_fn(mesh, t, u, theta) -> [nscal, nel, ...] scalar sources.
+    """
+
+    viscosity: float
+    dt: float
+    torder: int = 3
+    nscal: int = 0
+    conductivity: tuple = ()
+    rho: float = 1.0
+    vtol: float = 1e-10
+    ptol: float = 1e-9
+    ttol: float = 1e-10
+    vmaxit: int = 500
+    pmaxit: int = 800
+    forcing_fn: Callable | None = None
+    source_fn: Callable | None = None
+
+    def __post_init__(self):
+        if self.nscal and len(self.conductivity) != self.nscal:
+            raise ValueError("conductivity must have nscal entries")
+
+
+@pytree_dataclass
+class FlowState:
+    u: jnp.ndarray  # [ndim, nel, ...]
+    p: jnp.ndarray  # [nel, (n-2)^ndim]
+    theta: jnp.ndarray  # [nscal, nel, ...]
+    ulag: jnp.ndarray  # [torder-1, ndim, nel, ...] velocity history
+    nlag: jnp.ndarray  # [torder-1, ndim, nel, ...] advection-term history
+    tlag: jnp.ndarray  # [torder-1, nscal, nel, ...]
+    ntlag: jnp.ndarray  # [torder-1, nscal, nel, ...]
+    time: jnp.ndarray  # scalar
+
+
+def initial_state(mesh: SemMesh, cfg: FlowConfig, u=None, theta=None, p=None) -> FlowState:
+    shape = mesh.bm1.shape
+    dtype = mesh.bm1.dtype
+    nd, ns, no = mesh.ndim, cfg.nscal, cfg.torder - 1
+    z = lambda s: jnp.zeros(s, dtype)
+    if u is None:
+        u = z((nd,) + shape)
+    if theta is None:
+        theta = z((ns,) + shape)
+    if p is None:
+        p = z(mesh.bm2.shape)
+    return FlowState(
+        u=u,
+        p=p,
+        theta=theta,
+        ulag=z((no, nd) + shape),
+        nlag=z((no, nd) + shape),
+        tlag=z((no, ns) + shape),
+        ntlag=z((no, ns) + shape),
+        time=jnp.asarray(0.0, dtype),
+    )
+
+
+# BDFk / EXTk coefficients (gamma0, beta_j for u^{n-j}, alpha_j for N^{n-j})
+_BDF = {
+    1: (1.0, (1.0, 0.0, 0.0)),
+    2: (1.5, (2.0, -0.5, 0.0)),
+    3: (11.0 / 6.0, (3.0, -1.5, 1.0 / 3.0)),
+}
+_EXT = {
+    1: (1.0, 0.0, 0.0),
+    2: (2.0, -1.0, 0.0),
+    3: (3.0, -3.0, 1.0),
+}
+
+
+# ---------------------------------------------------------------------------
+# operator helpers
+# ---------------------------------------------------------------------------
+
+
+def helmholtz_diag(mesh: SemMesh, h1, h2, mask) -> jnp.ndarray:
+    """Jacobi diagonal of the masked assembled Helmholtz operator."""
+    op_local = lambda u: sem.helmholtz_local(mesh, u, h1, h2)
+    dloc = local_diagonal(op_local, mesh.bm1.shape, mesh.bm1.dtype, mesh.ndim)
+    d = sem.dssum(mesh, dloc)
+    return mask * d + (1.0 - mask)
+
+
+def helmholtz_solve(mesh, rhs_weak, h1, h2, mask, bc_val, tol, maxiter, diag):
+    """Solve mask*dssum(h1 A + h2 B)(u) = rhs with u = bc_val on masked DOFs.
+
+    rhs_weak is the unassembled weak residual (without BC lifting).
+    Works on fields with arbitrary leading axes (components solved jointly;
+    the CG residual is the sum over components, like Nek's `ophinv`).
+    """
+    ub = (1.0 - mask) * bc_val
+
+    def op(v):
+        return mask * sem.dssum(mesh, sem.helmholtz_local(mesh, v, h1, h2)) + (1.0 - mask) * v
+
+    b = mask * sem.dssum(mesh, rhs_weak - sem.helmholtz_local(mesh, ub, h1, h2))
+    precond = lambda r: r / diag
+    u0 = linear_solve(op, b, precond=precond, tol=tol, maxiter=maxiter)
+    return ub + mask * u0
+
+
+def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0):
+    """Returns dp = solve(rhs) for the E operator at fixed dt/g0."""
+    pure = mesh.p_fixed  # no outflow: E has the constant nullspace
+
+    def op(dp):
+        return stokes.e_op(mesh, dp, dt_over_g0)
+
+    def solve(rhs):
+        if pure:
+            rhs = stokes.project_onto_range(rhs)
+        dp = linear_solve(op, rhs, tol=cfg.ptol, maxiter=cfg.pmaxit)
+        if pure:
+            dp = stokes.remove_pressure_mean(mesh, dp)
+        return dp
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+
+def _explicit_terms(mesh: SemMesh, cfg: FlowConfig, u, theta, t, extra_force=None):
+    """Weak-form explicit terms: N_u = -(v, u . grad u) + (v, f);
+    N_theta_i = -(q, u . grad theta_i) + (q, s_i)."""
+    n_u = -sem.convect_volume_weak(mesh, u, u)
+    if cfg.forcing_fn is not None:
+        n_u = n_u + mesh.bm1 * cfg.forcing_fn(mesh, t, u, theta)
+    if extra_force is not None:
+        n_u = n_u + mesh.bm1 * extra_force
+    if cfg.nscal:
+        n_t = -jnp.stack([sem.convect_weak(mesh, theta[i], u) for i in range(cfg.nscal)])
+        if cfg.source_fn is not None:
+            n_t = n_t + mesh.bm1 * cfg.source_fn(mesh, t, u, theta)
+    else:
+        n_t = jnp.zeros_like(theta)
+    return n_u, n_t
+
+
+def step(
+    mesh: SemMesh,
+    cfg: FlowConfig,
+    state: FlowState,
+    order: int,
+    ub=None,
+    tb=None,
+    extra_force=None,
+    vdiag=None,
+    tdiags=None,
+) -> FlowState:
+    """One BDF(order)/EXT(order) step of the nonlinear solver."""
+    dt = cfg.dt
+    g0, betas = _BDF[order]
+    alphas = _EXT[order]
+    if ub is None:
+        ub = jnp.zeros_like(state.u)
+    if tb is None:
+        tb = jnp.zeros_like(state.theta)
+
+    n_u, n_t = _explicit_terms(mesh, cfg, state.u, state.theta, state.time, extra_force)
+
+    # ---- velocity ----
+    nstar = alphas[0] * n_u + alphas[1] * state.nlag[0] + alphas[2] * state.nlag[1]
+    bsum = betas[0] * state.u + betas[1] * state.ulag[0] + betas[2] * state.ulag[1]
+    rhs = (cfg.rho / dt) * mesh.bm1 * bsum + nstar + stokes.grad_weak_t(mesh, state.p)
+
+    h1 = cfg.viscosity
+    h2 = cfg.rho * g0 / dt
+    if vdiag is None:
+        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask)
+    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask, ub, cfg.vtol, cfg.vmaxit, vdiag)
+
+    # ---- pressure correction ----
+    # E = div (dt/g0) Binv grad^T already carries the dt/g0 factor, so the
+    # consistency condition D(u* + du) = 0 reads E dp = -div u* (dp is then
+    # the physical pressure increment).
+    dt_over_g0 = dt / (g0 * cfg.rho)
+    psolve = make_pressure_solver(mesh, cfg, dt_over_g0)
+    rhs_p = -stokes.div_weak(mesh, ustar)
+    dp = psolve(rhs_p)
+    du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
+    u_new = ustar + du
+    p_new = state.p + dp
+
+    # ---- scalars ----
+    if cfg.nscal:
+        ntstar = alphas[0] * n_t + alphas[1] * state.ntlag[0] + alphas[2] * state.ntlag[1]
+        tbsum = betas[0] * state.theta + betas[1] * state.tlag[0] + betas[2] * state.tlag[1]
+        comps = []
+        for i in range(cfg.nscal):
+            rhs_t = (1.0 / dt) * mesh.bm1 * tbsum[i] + ntstar[i]
+            k1 = cfg.conductivity[i]
+            k2 = g0 / dt
+            tdiag = (
+                tdiags[i]
+                if tdiags is not None
+                else helmholtz_diag(mesh, k1, k2, mesh.tmask)
+            )
+            comps.append(
+                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask, tb[i], cfg.ttol, cfg.vmaxit, tdiag)
+            )
+        theta_new = jnp.stack(comps)
+    else:
+        theta_new = state.theta
+
+    # ---- shift history ----
+    shift = lambda lag, cur: jnp.concatenate([cur[None], lag[:-1]], axis=0)
+    return FlowState(
+        u=u_new,
+        p=p_new,
+        theta=theta_new,
+        ulag=shift(state.ulag, state.u),
+        nlag=shift(state.nlag, n_u),
+        tlag=shift(state.tlag, state.theta),
+        ntlag=shift(state.ntlag, n_t),
+        time=state.time + dt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-step advance (one compiled program)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "ramp"))
+def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=None, tb=None, ramp: bool = True):
+    """Integrate nsteps with a BDF1/2/3 startup ramp (self-starting: the map
+    needs no externally supplied history, unlike the reference's
+    compute_rst/get_rst lag plumbing — exponential_propagator.f90:109-142 —
+    which this design makes unnecessary)."""
+    vdiag3 = helmholtz_diag(mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask)
+    tdiags3 = [
+        helmholtz_diag(mesh, cfg.conductivity[i], _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.tmask)
+        for i in range(cfg.nscal)
+    ] or None
+
+    n_ramp = min(cfg.torder - 1, nsteps) if ramp else 0
+    for k in range(n_ramp):
+        state = step(mesh, cfg, state, order=k + 1, ub=ub, tb=tb)
+
+    remaining = nsteps - n_ramp
+    if remaining <= 0:
+        return state
+
+    def body(s, _):
+        s = step(mesh, cfg, s, order=min(cfg.torder, 3), ub=ub, tb=tb, vdiag=vdiag3, tdiags=tdiags3)
+        return s, None
+
+    state, _ = lax.scan(body, state, None, length=remaining)
+    return state

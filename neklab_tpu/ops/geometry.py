@@ -44,6 +44,7 @@ class GeomFactors:
     rxd: np.ndarray  # [ndim, ndim, nel, ...d]
     bmd: np.ndarray  # [nel, ...d]
     wt: np.ndarray  # tensor-product GLL weights [...], no jac
+    bm2: np.ndarray  # [nel, ...2] mass on the P(N-2) pressure (mesh-2) grid
 
 
 def _tensor_weights(w: np.ndarray, ndim: int) -> np.ndarray:
@@ -100,7 +101,24 @@ def compute_geom(x: np.ndarray, basis: Basis) -> GeomFactors:
     wtd = _tensor_weights(basis.wd, ndim)
     bmd = jacd * wtd
 
-    return GeomFactors(ndim=ndim, x=x, jac=jac, rx=rx, bm1=bm1, g=g, xd=xd, rxd=rxd, bmd=bmd, wt=wt)
+    # mesh-2 (pressure) grid: interior Gauss points of order n-2
+    if basis.j12.shape[0] > 0:
+        j12 = basis.j12
+        dxdr_2 = np.stack(
+            [
+                np.stack([_interp_all_axes(j12, dxdr[i, j], ndim, 1) for j in range(ndim)], axis=0)
+                for i in range(ndim)
+            ],
+            axis=0,
+        )
+        jac2, _ = _invert_metric(dxdr_2, ndim)
+        bm2 = jac2 * _tensor_weights(basis.w2, ndim)
+    else:
+        bm2 = np.zeros((x.shape[1],) + (0,) * ndim)
+
+    return GeomFactors(
+        ndim=ndim, x=x, jac=jac, rx=rx, bm1=bm1, g=g, xd=xd, rxd=rxd, bmd=bmd, wt=wt, bm2=bm2
+    )
 
 
 def _invert_metric(dxdr: np.ndarray, ndim: int) -> tuple[np.ndarray, np.ndarray]:
