@@ -46,6 +46,8 @@ class SemMesh:
     vmask: jnp.ndarray  # [ndim, nel, ...] velocity component masks
     pmask: jnp.ndarray  # [nel, ...] pressure mask (0 where p Dirichlet, e.g. outflow)
     tmask: jnp.ndarray  # [nel, ...] temperature/scalar mask
+    vmask_hat: jnp.ndarray  # [ndim, nglob] global-DOF velocity masks
+    tmask_hat: jnp.ndarray  # [nglob] global-DOF scalar mask
     volume: jnp.ndarray  # scalar: total mesh volume
 
     @property
@@ -94,6 +96,14 @@ def build_mesh(
     np.add.at(bsum, gidx.reshape(-1), geom.bm1.reshape(-1))
     binv = (1.0 / bsum)[gidx.reshape(-1)].reshape(gidx.shape)
 
+    # global-DOF masks (min over copies: Dirichlet wins at shared nodes)
+    ndim_ = geom.ndim
+    vmask_hat = np.ones((ndim_, nglob))
+    for c in range(ndim_):
+        np.minimum.at(vmask_hat[c], gidx.reshape(-1), vmask[c].reshape(-1))
+    tmask_hat = np.ones(nglob)
+    np.minimum.at(tmask_hat, gidx.reshape(-1), tmask.reshape(-1))
+
     pure_neumann = bool(np.all(pmask > 0.5))
     bc = tuple(bc) + ((("__pure_neumann__", "1"),) if pure_neumann else ())
 
@@ -119,5 +129,7 @@ def build_mesh(
         vmask=cast(vmask),
         pmask=cast(pmask),
         tmask=cast(tmask),
+        vmask_hat=cast(vmask_hat),
+        tmask_hat=cast(tmask_hat),
         volume=cast((geom.bm1).sum()),
     )

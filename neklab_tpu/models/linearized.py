@@ -1,0 +1,250 @@
+"""Linearized (and discrete-adjoint) Navier-Stokes stepper.
+
+Perturbation evolution about a FROZEN base flow (U, Theta): same BDFk/EXTk
+fractional-step as the nonlinear solver with the convection linearized,
+
+    N(u') = -(v, U . grad u') - (v, u' . grad U)  (+ linear coupling forces),
+
+homogeneous Dirichlet BCs (the perturbation masks), and an optional
+per-perturbation body force input (the reference's `neklab_forcing` hook,
+neklab_nek_forcing.f90:96-114, used by resolvent harmonic forcing and OTD
+rank coupling).
+
+Adjoint: instead of hand-coded adjoint kernels (`convop_adj`,
+neklab_linops.f90:287-302) the adjoint propagator is the EXACT discrete
+adjoint w.r.t. the mass-weighted inner product <u,v> = sum(u v bm1):
+
+    M* v = vmask . Bhat^-1 dssum( M^T (bm1 . v) ),
+
+with M^T obtained from jax.linear_transpose of the jitted forward propagator
+(solves transpose through lax.custom_linear_solve). This satisfies
+<Mu, v> = <u, M*v> to machine precision — a property the reference's
+continuous-adjoint approach only has up to discretization error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..mesh.core import SemMesh
+from ..ops import sem
+from ..utils.pytrees import pytree_dataclass
+from . import stokes
+from .navier_stokes import (
+    _BDF,
+    _EXT,
+    FlowConfig,
+    helmholtz_diag,
+    helmholtz_solve,
+    make_pressure_solver,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LinConfig:
+    """Linearized-solver configuration. lin_forcing_fn(mesh, u, theta) must be
+    LINEAR in (u, theta) — e.g. Boussinesq buoyancy g*beta*theta'."""
+
+    flow: FlowConfig
+    lin_forcing_fn: Callable | None = None
+    lin_source_fn: Callable | None = None
+
+    @property
+    def nscal(self):
+        return self.flow.nscal
+
+
+@pytree_dataclass
+class PertState:
+    u: jnp.ndarray
+    p: jnp.ndarray
+    theta: jnp.ndarray
+    ulag: jnp.ndarray
+    nlag: jnp.ndarray
+    tlag: jnp.ndarray
+    ntlag: jnp.ndarray
+    plag: jnp.ndarray
+
+
+def pert_initial(mesh: SemMesh, cfg: LinConfig, u, theta=None) -> PertState:
+    shape = mesh.bm1.shape
+    dtype = mesh.bm1.dtype
+    nd, ns, no = mesh.ndim, cfg.nscal, cfg.flow.torder - 1
+    z = lambda s: jnp.zeros(s, dtype)
+    if theta is None:
+        theta = z((ns,) + shape)
+    return PertState(
+        u=u,
+        p=z(mesh.bm2.shape),
+        theta=theta,
+        ulag=z((no, nd) + shape),
+        nlag=z((no, nd) + shape),
+        tlag=z((no, ns) + shape),
+        ntlag=z((no, ns) + shape),
+        plag=z((1,) + mesh.bm2.shape),
+    )
+
+
+def _lin_terms(mesh, cfg: LinConfig, u, theta, base_u, base_theta, force, source):
+    """Weak linearized explicit terms about (base_u, base_theta)."""
+    n_u = -(
+        sem.convect_volume_weak(mesh, u, base_u)  # (U . grad) u'
+        + sem.convect_volume_weak(mesh, base_u, u)  # (u' . grad) U
+    )
+    if cfg.lin_forcing_fn is not None:
+        n_u = n_u + mesh.bm1 * cfg.lin_forcing_fn(mesh, u, theta)
+    if force is not None:
+        n_u = n_u + mesh.bm1 * force
+    if cfg.nscal:
+        n_t = -jnp.stack(
+            [
+                sem.convect_weak(mesh, theta[i], base_u)
+                + sem.convect_weak(mesh, base_theta[i], u)
+                for i in range(cfg.nscal)
+            ]
+        )
+        if cfg.lin_source_fn is not None:
+            n_t = n_t + mesh.bm1 * cfg.lin_source_fn(mesh, u, theta)
+        if source is not None:
+            n_t = n_t + mesh.bm1 * source
+    else:
+        n_t = jnp.zeros_like(theta)
+    return n_u, n_t
+
+
+def step_lin(
+    mesh: SemMesh,
+    cfg: LinConfig,
+    state: PertState,
+    base_u,
+    base_theta,
+    order: int,
+    force=None,
+    source=None,
+    vdiag=None,
+    tdiags=None,
+) -> PertState:
+    """One linearized BDF(order)/EXT(order) step (homogeneous BCs)."""
+    fc = cfg.flow
+    dt = fc.dt
+    g0, betas = _BDF[order]
+    alphas = _EXT[order]
+
+    n_u, n_t = _lin_terms(mesh, cfg, state.u, state.theta, base_u, base_theta, force, source)
+
+    pstar = state.p  # incremental (non-extrapolated) pressure: robust default
+    nstar = alphas[0] * n_u + alphas[1] * state.nlag[0] + alphas[2] * state.nlag[1]
+    bsum = betas[0] * state.u + betas[1] * state.ulag[0] + betas[2] * state.ulag[1]
+    rhs = (fc.rho / dt) * mesh.bm1 * bsum + nstar + stokes.grad_weak_t(mesh, pstar)
+
+    h1 = fc.viscosity
+    h2 = fc.rho * g0 / dt
+    if vdiag is None:
+        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask_hat)
+    zero = jnp.zeros_like(state.u)
+    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask_hat, zero, fc.vtol, fc.vmaxit, vdiag)
+
+    dt_over_g0 = dt / (g0 * fc.rho)
+    psolve = make_pressure_solver(mesh, fc, dt_over_g0)
+    dp = psolve(-stokes.div_weak(mesh, ustar))
+    du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
+    u_new = ustar + du
+    p_new = pstar + dp
+
+    if cfg.nscal:
+        ntstar = alphas[0] * n_t + alphas[1] * state.ntlag[0] + alphas[2] * state.ntlag[1]
+        tbsum = betas[0] * state.theta + betas[1] * state.tlag[0] + betas[2] * state.tlag[1]
+        comps = []
+        for i in range(cfg.nscal):
+            rhs_t = (1.0 / dt) * mesh.bm1 * tbsum[i] + ntstar[i]
+            k1 = fc.conductivity[i]
+            k2 = g0 / dt
+            tdiag = tdiags[i] if tdiags is not None else helmholtz_diag(mesh, k1, k2, mesh.tmask_hat)
+            zt = jnp.zeros_like(state.theta[i])
+            comps.append(
+                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask_hat, zt, fc.ttol, fc.vmaxit, tdiag)
+            )
+        theta_new = jnp.stack(comps)
+    else:
+        theta_new = state.theta
+
+    shift = lambda lag, cur: jnp.concatenate([cur[None], lag[:-1]], axis=0)
+    return PertState(
+        u=u_new,
+        p=p_new,
+        theta=theta_new,
+        ulag=shift(state.ulag, state.u),
+        nlag=shift(state.nlag, n_u),
+        tlag=shift(state.tlag, state.theta),
+        ntlag=shift(state.ntlag, n_t),
+        plag=jnp.stack([state.p]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the propagator: (u0, theta0) -> (u(tau), theta(tau))
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "nsteps"))
+def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nsteps: int):
+    """Linear map M: (u0, theta0) -> state after nsteps of the linearized
+    solver, with a BDF1/2/3 self-starting ramp and zero initial pressure.
+
+    This is the exponential-propagator matvec exp(tau A) (tau = nsteps*dt) —
+    /root/reference/src/linops/exponential_propagator.f90:15-60 — as ONE
+    compiled XLA program.
+    """
+    fc = cfg.flow
+    state = pert_initial(mesh, cfg, u0, theta0)
+    tmax = min(fc.torder, 3)
+    vdiag3 = helmholtz_diag(mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask_hat)
+    tdiags3 = [
+        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask_hat)
+        for i in range(fc.nscal)
+    ] or None
+
+    n_ramp = min(fc.torder - 1, nsteps)
+    for k in range(n_ramp):
+        state = step_lin(mesh, cfg, state, base_u, base_theta, order=k + 1)
+
+    remaining = nsteps - n_ramp
+    if remaining > 0:
+
+        def body(s, _):
+            s = step_lin(
+                mesh, cfg, s, base_u, base_theta, order=tmax, vdiag=vdiag3, tdiags=tdiags3
+            )
+            return s, None
+
+        state, _ = lax.scan(body, state, None, length=remaining)
+    return state.u, state.theta
+
+
+def make_adjoint_propagator(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, nsteps: int):
+    """Returns the exact discrete B-adjoint of `propagate` as a function
+    (v_u, v_theta) -> (w_u, w_theta): w = vmask Bhat^-1 dssum( M^T (B v) )."""
+
+    def fwd(u0, theta0):
+        return propagate(mesh, cfg, base_u, base_theta, u0, theta0, nsteps)
+
+    shape = mesh.bm1.shape
+    dtype = mesh.bm1.dtype
+    u_ex = jax.ShapeDtypeStruct((mesh.ndim,) + shape, dtype)
+    t_ex = jax.ShapeDtypeStruct((cfg.nscal,) + shape, dtype)
+    transpose = jax.linear_transpose(fwd, u_ex, t_ex)
+
+    @jax.jit
+    def adjoint(v_u, v_theta):
+        wu, wt = transpose((mesh.bm1 * v_u, mesh.bm1 * v_theta))
+        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu)
+        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt)
+        return au, at
+
+    return adjoint

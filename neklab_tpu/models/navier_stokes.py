@@ -78,6 +78,7 @@ class FlowState:
     nlag: jnp.ndarray  # [torder-1, ndim, nel, ...] advection-term history
     tlag: jnp.ndarray  # [torder-1, nscal, nel, ...]
     ntlag: jnp.ndarray  # [torder-1, nscal, nel, ...]
+    plag: jnp.ndarray  # [1, nel, ...2] previous pressure (2nd-order extrapolation)
     time: jnp.ndarray  # scalar
 
 
@@ -100,6 +101,7 @@ def initial_state(mesh: SemMesh, cfg: FlowConfig, u=None, theta=None, p=None) ->
         nlag=z((no, nd) + shape),
         tlag=z((no, ns) + shape),
         ntlag=z((no, ns) + shape),
+        plag=jnp.stack([p]),
         time=jnp.asarray(0.0, dtype),
     )
 
@@ -122,43 +124,71 @@ _EXT = {
 # ---------------------------------------------------------------------------
 
 
-def helmholtz_diag(mesh: SemMesh, h1, h2, mask) -> jnp.ndarray:
-    """Jacobi diagonal of the masked assembled Helmholtz operator."""
+def helmholtz_diag(mesh: SemMesh, h1, h2, mask_hat) -> jnp.ndarray:
+    """Jacobi diagonal of the masked assembled Helmholtz operator, in the
+    GLOBAL unique-DOF representation [..., nglob]."""
     op_local = lambda u: sem.helmholtz_local(mesh, u, h1, h2)
     dloc = local_diagonal(op_local, mesh.bm1.shape, mesh.bm1.dtype, mesh.ndim)
-    d = sem.dssum(mesh, dloc)
-    return mask * d + (1.0 - mask)
+    d = sem.scatter_global(mesh, dloc)
+    return mask_hat * d + (1.0 - mask_hat)
 
 
-def helmholtz_solve(mesh, rhs_weak, h1, h2, mask, bc_val, tol, maxiter, diag):
-    """Solve mask*dssum(h1 A + h2 B)(u) = rhs with u = bc_val on masked DOFs.
+def helmholtz_solve(mesh, rhs_weak, h1, h2, mask_hat, bc_val, tol, maxiter, diag_hat):
+    """Solve the assembled Helmholtz system (h1 A + h2 B) u = rhs with
+    u = bc_val on Dirichlet DOFs.
 
-    rhs_weak is the unassembled weak residual (without BC lifting).
-    Works on fields with arbitrary leading axes (components solved jointly;
-    the CG residual is the sum over components, like Nek's `ophinv`).
+    rhs_weak: unassembled local weak residual (no BC lifting), any leading
+    axes (components solved jointly — Nek's `ophinv`).
+
+    The CG runs on global unique-DOF vectors, where the assembled operator
+    Q^T H Q is genuinely symmetric — required for correctness of CG and of
+    custom_linear_solve's symmetric transpose rule.
     """
-    ub = (1.0 - mask) * bc_val
+    ub_hat = (1.0 - mask_hat) * _first_copy(mesh, bc_val)
 
-    def op(v):
-        return mask * sem.dssum(mesh, sem.helmholtz_local(mesh, v, h1, h2)) + (1.0 - mask) * v
+    def op(vhat):
+        v = sem.gather_global(mesh, vhat)
+        hv = sem.scatter_global(mesh, sem.helmholtz_local(mesh, v, h1, h2))
+        return mask_hat * hv + (1.0 - mask_hat) * vhat
 
-    b = mask * sem.dssum(mesh, rhs_weak - sem.helmholtz_local(mesh, ub, h1, h2))
-    precond = lambda r: r / diag
-    u0 = linear_solve(op, b, precond=precond, tol=tol, maxiter=maxiter)
-    return ub + mask * u0
+    ub_local = sem.gather_global(mesh, ub_hat)
+    b = mask_hat * sem.scatter_global(
+        mesh, rhs_weak - sem.helmholtz_local(mesh, ub_local, h1, h2)
+    )
+    precond = lambda r: r / diag_hat
+    u0_hat = linear_solve(op, b, precond=precond, tol=tol, maxiter=maxiter)
+    return sem.gather_global(mesh, ub_hat + mask_hat * u0_hat)
+
+
+def _first_copy(mesh: SemMesh, f_local: jnp.ndarray) -> jnp.ndarray:
+    """Restrict a (consistent-across-copies) local field to global DOFs."""
+    lead = f_local.shape[: f_local.ndim - mesh.gidx.ndim]
+    flat = f_local.reshape(lead + (-1,))
+    out = jnp.zeros(lead + (mesh.nglob,), f_local.dtype)
+    return out.at[..., mesh.gidx.reshape(-1)].set(flat)
 
 
 def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0):
-    """Returns dp = solve(rhs) for the E operator at fixed dt/g0."""
+    """Returns dp = solve(rhs) for the E operator at fixed dt/g0.
+
+    For enclosed flows (pure-Neumann pressure) the constant nullspace is
+    projected INSIDE the custom_linear_solve callbacks, so the transposed
+    solve (which receives arbitrary cotangent RHSs during
+    jax.linear_transpose of a step) also sees a consistent system.
+    """
     pure = mesh.p_fixed  # no outflow: E has the constant nullspace
+    proj = stokes.project_onto_range if pure else (lambda q: q)
 
     def op(dp):
-        return stokes.e_op(mesh, dp, dt_over_g0)
+        return proj(stokes.e_op(mesh, proj(dp), dt_over_g0))
+
+    def inner_solve(matvec, rhs):
+        from .solvers import pcg
+
+        return pcg(matvec, proj(rhs), tol=cfg.ptol, maxiter=cfg.pmaxit)
 
     def solve(rhs):
-        if pure:
-            rhs = stokes.project_onto_range(rhs)
-        dp = linear_solve(op, rhs, tol=cfg.ptol, maxiter=cfg.pmaxit)
+        dp = lax.custom_linear_solve(op, proj(rhs), solve=inner_solve, symmetric=True)
         if pure:
             dp = stokes.remove_pressure_mean(mesh, dp)
         return dp
@@ -211,15 +241,18 @@ def step(
     n_u, n_t = _explicit_terms(mesh, cfg, state.u, state.theta, state.time, extra_force)
 
     # ---- velocity ----
+    # 2nd-order pressure extrapolation p* = 2 p^n - p^{n-1} (order >= 2):
+    # cuts the incremental-splitting error by one power of dt.
+    pstar = state.p  # incremental (non-extrapolated) pressure: robust default
     nstar = alphas[0] * n_u + alphas[1] * state.nlag[0] + alphas[2] * state.nlag[1]
     bsum = betas[0] * state.u + betas[1] * state.ulag[0] + betas[2] * state.ulag[1]
-    rhs = (cfg.rho / dt) * mesh.bm1 * bsum + nstar + stokes.grad_weak_t(mesh, state.p)
+    rhs = (cfg.rho / dt) * mesh.bm1 * bsum + nstar + stokes.grad_weak_t(mesh, pstar)
 
     h1 = cfg.viscosity
     h2 = cfg.rho * g0 / dt
     if vdiag is None:
-        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask)
-    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask, ub, cfg.vtol, cfg.vmaxit, vdiag)
+        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask_hat)
+    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask_hat, ub, cfg.vtol, cfg.vmaxit, vdiag)
 
     # ---- pressure correction ----
     # E = div (dt/g0) Binv grad^T already carries the dt/g0 factor, so the
@@ -231,7 +264,7 @@ def step(
     dp = psolve(rhs_p)
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
-    p_new = state.p + dp
+    p_new = pstar + dp
 
     # ---- scalars ----
     if cfg.nscal:
@@ -245,10 +278,10 @@ def step(
             tdiag = (
                 tdiags[i]
                 if tdiags is not None
-                else helmholtz_diag(mesh, k1, k2, mesh.tmask)
+                else helmholtz_diag(mesh, k1, k2, mesh.tmask_hat)
             )
             comps.append(
-                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask, tb[i], cfg.ttol, cfg.vmaxit, tdiag)
+                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask_hat, tb[i], cfg.ttol, cfg.vmaxit, tdiag)
             )
         theta_new = jnp.stack(comps)
     else:
@@ -264,6 +297,7 @@ def step(
         nlag=shift(state.nlag, n_u),
         tlag=shift(state.tlag, state.theta),
         ntlag=shift(state.ntlag, n_t),
+        plag=jnp.stack([state.p]),
         time=state.time + dt,
     )
 
@@ -279,9 +313,9 @@ def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=No
     needs no externally supplied history, unlike the reference's
     compute_rst/get_rst lag plumbing — exponential_propagator.f90:109-142 —
     which this design makes unnecessary)."""
-    vdiag3 = helmholtz_diag(mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask)
+    vdiag3 = helmholtz_diag(mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask_hat)
     tdiags3 = [
-        helmholtz_diag(mesh, cfg.conductivity[i], _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.tmask)
+        helmholtz_diag(mesh, cfg.conductivity[i], _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.tmask_hat)
         for i in range(cfg.nscal)
     ] or None
 

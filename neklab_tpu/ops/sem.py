@@ -45,6 +45,8 @@ def dssum(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
 
     Equivalent of Nek5000 `dssum`/`opdssum` via gslib (SURVEY section 2.2).
     """
+    if f.size == 0:  # zero-size leading axes (e.g. nscal=0 scalar stacks)
+        return f
     lead = f.shape[: f.ndim - mesh.gidx.ndim]
     flat = f.reshape(lead + (-1,))
     gsum = jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
@@ -55,6 +57,27 @@ def dssum(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
 def dsavg(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
     """Average shared DOFs (dssum weighted by 1/multiplicity)."""
     return dssum(mesh, f) * mesh.vmult
+
+
+def gather_global(mesh: SemMesh, fhat: jnp.ndarray) -> jnp.ndarray:
+    """Q: global unique-DOF vector [..., nglob] -> local copies [..., nel, pts].
+
+    The implicit solvers run their CG in the global representation, where the
+    assembled operator Q^T H Q is Euclidean-symmetric (the local-copies form
+    mask*dssum(H_local .) is NOT — dssum and H do not commute), which both CG
+    and custom_linear_solve's symmetric transpose rule require.
+    """
+    out = fhat[..., mesh.gidx.reshape(-1)]
+    return out.reshape(fhat.shape[:-1] + mesh.gidx.shape)
+
+
+def scatter_global(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
+    """Q^T: local copies [..., nel, pts] -> global sums [..., nglob]."""
+    if f.size == 0:
+        return f.reshape(f.shape[: f.ndim - mesh.gidx.ndim] + (mesh.nglob,))
+    lead = f.shape[: f.ndim - mesh.gidx.ndim]
+    flat = f.reshape(lead + (-1,))
+    return jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
 
 
 # ---------------------------------------------------------------------------
