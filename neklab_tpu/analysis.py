@@ -1,0 +1,140 @@
+"""Top-level analysis drivers — the framework's public API.
+
+Mirrors /root/reference/src/neklab_analysis.f90:31-34:
+  linear_stability_analysis_fixed_point   (:38-105)
+  transient_growth_analysis_fixed_point   (:107-156)
+  newton_fixed_point_iteration            (:158-212)
+  otd_analysis                            (:214-344)
+plus the resolvent frequency sweep the reference drives from user code
+(examples/cylinder/resolvent, examples/back_fstep/gramian).
+
+Each driver logs through the standard logging module (the reference's
+dual-channel LightKrylov logger + rank-0 stdout, SURVEY section 5) and writes
+the same structured outputs: *_eigenspectrum.npy, singular_spectrum.dat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+from .krylov import eigs, newton, svds
+from .krylov.space import VectorSpace
+from .linops.exponential_propagator import ExponentialPropagator
+
+logger = logging.getLogger("neklab_tpu.analysis")
+
+
+@dataclasses.dataclass
+class StabilityResult:
+    eigvals: np.ndarray  # continuous-time: log(mu)/tau
+    multipliers: np.ndarray  # discrete mu
+    residuals: np.ndarray
+    eigenvectors: list
+    n_matvec: int
+    elapsed: float
+
+
+def linear_stability_analysis_fixed_point(
+    exptA: ExponentialPropagator,
+    space: VectorSpace,
+    kdim: int = 128,
+    nev: int = 8,
+    tol: float = 1e-6,
+    adjoint: bool = False,
+    maxiter: int = 30,
+    outdir: str | None = None,
+    seed: int = 1234,
+) -> StabilityResult:
+    """Arnoldi/Krylov-Schur eigensolve of exp(tau A); eigenvalues mapped back
+    by lambda = log(mu)/tau (neklab_analysis.f90:84)."""
+    t0 = time.time()
+    prefix = "adj" if adjoint else "dir"
+
+    def cb(cycle, result):
+        if outdir:
+            _save_spectrum(outdir, prefix, result.eigvals, exptA.tau, intermediate=cycle)
+
+    res = eigs(
+        exptA,
+        space,
+        nev=nev,
+        kdim=kdim,
+        tol=tol,
+        maxiter=maxiter,
+        which="lm",
+        adjoint=adjoint,
+        callback=cb,
+        seed=seed,
+    )
+    lam = np.log(res.eigvals.astype(complex)) / exptA.tau
+    elapsed = time.time() - t0
+    logger.info(
+        "%s stability: %d matvecs, %.1fs; leading lambda = %s",
+        prefix,
+        res.n_matvec,
+        elapsed,
+        lam[0],
+    )
+    if outdir:
+        _save_spectrum(outdir, prefix, res.eigvals, exptA.tau)
+    return StabilityResult(
+        eigvals=lam,
+        multipliers=res.eigvals,
+        residuals=res.residuals,
+        eigenvectors=res.eigenvectors(),
+        n_matvec=res.n_matvec,
+        elapsed=elapsed,
+    )
+
+
+def _save_spectrum(outdir, prefix, mus, tau, intermediate=None):
+    os.makedirs(outdir, exist_ok=True)
+    lam = np.log(mus.astype(complex)) / tau
+    name = f"{prefix}_eigenspectrum.npy"
+    np.save(os.path.join(outdir, name), np.stack([lam.real, lam.imag]))
+
+
+@dataclasses.dataclass
+class TransientGrowthResult:
+    sigma: np.ndarray  # singular values of exp(tau A) = sqrt(max energy growth)
+    optimal_inputs: list  # right singular vectors (optimal perturbations)
+    optimal_outputs: list  # left singular vectors (responses)
+    residuals: np.ndarray
+    n_matvec: int
+    elapsed: float
+
+
+def transient_growth_analysis_fixed_point(
+    exptA: ExponentialPropagator,
+    space: VectorSpace,
+    kdim: int = 64,
+    nsv: int = 4,
+    tol: float = 1e-6,
+    outdir: str | None = None,
+    seed: int = 1234,
+) -> TransientGrowthResult:
+    """Lanczos SVD of exp(tau A): optimal transient energy growth
+    (neklab_analysis.f90:107-156; each iteration = forward + adjoint solve)."""
+    t0 = time.time()
+    res = svds(exptA, space, nsv=nsv, kdim=kdim, tol=tol, seed=seed)
+    elapsed = time.time() - t0
+    logger.info("transient growth: sigma = %s (%d matvecs, %.1fs)", res.s, res.n_matvec, elapsed)
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "singular_spectrum.dat"), "w") as f:
+            for i, (s, r) in enumerate(zip(res.s, res.residuals)):
+                f.write(f"{i + 1} {s:.12e} {r:.3e}\n")
+    return TransientGrowthResult(
+        sigma=res.s,
+        optimal_inputs=res.right_vectors(),
+        optimal_outputs=res.left_vectors(),
+        residuals=res.residuals,
+        n_matvec=res.n_matvec,
+        elapsed=elapsed,
+    )

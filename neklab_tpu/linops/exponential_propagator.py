@@ -1,0 +1,74 @@
+"""The exponential propagator M = exp(tau A): the framework's core matvec.
+
+matvec = integrate the linearized Navier-Stokes equations for horizon tau
+(nsteps * dt == tau exactly) about a frozen base flow; rmatvec = the EXACT
+discrete adjoint (see models/linearized.py). Eigenvalues of A are recovered
+as log(mu)/tau from Ritz values mu of M.
+
+Reference parity: `exptA_linop` + `exptA_matvec`/`exptA_rmatvec`
+(/root/reference/src/linops/exponential_propagator.f90:4-107), with:
+  * the CFL/dt re-derivation contract of `setup_linear_solver` (cfl=0.5,
+    exponential_propagator.f90:12) via utils/timestep.horizon_steps;
+  * NO lag-state plumbing (compute_rst/get_rst, :109-142): the propagator is
+    self-starting (BDF ramp), so vectors are plain (u, theta) fields and the
+    map is exactly linear and exactly transposable.
+The temperature variant (exponential_propagator_temp.f90) is subsumed: nscal
+is a config knob, theta rides along in the same vector.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..krylov.linop import LinearOperator
+from ..mesh.core import SemMesh
+from ..models.linearized import LinConfig, make_adjoint_propagator, propagate
+from ..models.navier_stokes import FlowConfig
+from ..utils.timestep import cfl_dt, horizon_steps
+
+
+class ExponentialPropagator(LinearOperator):
+    """M = exp(tau A) via time integration of the linearized equations."""
+
+    def __init__(
+        self,
+        mesh: SemMesh,
+        cfg: LinConfig,
+        base_u,
+        base_theta=None,
+        tau: float = 1.0,
+        cfl: float = 0.5,
+        dt: float | None = None,
+    ):
+        self.mesh = mesh
+        self.base_u = base_u
+        self.base_theta = (
+            base_theta
+            if base_theta is not None
+            else jnp.zeros((cfg.nscal,) + mesh.bm1.shape, mesh.bm1.dtype)
+        )
+        self.tau = float(tau)
+        if dt is None:
+            dt = cfl_dt(mesh, base_u, cfl=cfl)
+        self.dt, self.nsteps = horizon_steps(tau, dt)
+        # rebuild the (hashable, static) config with the derived dt
+        import dataclasses
+
+        self.cfg = dataclasses.replace(cfg, flow=dataclasses.replace(cfg.flow, dt=self.dt))
+        self._adjoint = None
+
+    def matvec(self, x: dict) -> dict:
+        u, theta = propagate(
+            self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"], self.nsteps
+        )
+        return {"u": u, "theta": theta}
+
+    def rmatvec(self, x: dict) -> dict:
+        if self._adjoint is None:
+            self._adjoint = make_adjoint_propagator(
+                self.mesh, self.cfg, self.base_u, self.base_theta, self.nsteps
+            )
+        u, theta = self._adjoint(x["u"], x["theta"])
+        return {"u": u, "theta": theta}

@@ -1,0 +1,48 @@
+"""CFL-driven time-step selection with the exact-horizon contract.
+
+Reference parity: `setup_nek`'s dt/nsteps re-derivation
+(/root/reference/src/neklab_nek_setup.f90:159-224): given a horizon tau and a
+CFL target against the current base flow, pick dt = tau / nsteps with
+nsteps = ceil(tau / dt_cfl) so that fintim = nsteps * dt hits tau EXACTLY
+(SURVEY hard part 5).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..mesh.core import SemMesh
+
+
+def min_grid_spacing(mesh: SemMesh) -> np.ndarray:
+    """Per-node characteristic spacing: min distance to the neighboring GLL
+    node along each reference direction (host-side, numpy)."""
+    x = np.asarray(mesh.x)  # [ndim, nel, ...]
+    ndim = mesh.ndim
+    d2 = None
+    for ax in range(ndim):
+        a = x.ndim - 1 - ax  # array axis (in x) for this reference direction
+        diff = np.diff(x, axis=a)
+        dist = np.sqrt((diff**2).sum(axis=0))  # component axis dropped
+        ad = a - 1  # the same axis within dist
+        lo = np.concatenate([dist.take([0], axis=ad), dist], axis=ad)
+        hi = np.concatenate([dist, dist.take([-1], axis=ad)], axis=ad)
+        sp = np.minimum(lo, hi)
+        d2 = sp if d2 is None else np.minimum(d2, sp)
+    return d2
+
+
+def cfl_dt(mesh: SemMesh, u, cfl: float = 0.5, umin: float = 1e-12) -> float:
+    """Largest dt meeting the CFL target for velocity field u [ndim, ...]."""
+    sp = min_grid_spacing(mesh)
+    speed = np.sqrt((np.asarray(u) ** 2).sum(axis=0))
+    ratio = sp / np.maximum(speed, umin)
+    return float(cfl * ratio.min())
+
+
+def horizon_steps(tau: float, dt_max: float) -> tuple[float, int]:
+    """(dt, nsteps) with nsteps*dt == tau exactly and dt <= dt_max."""
+    nsteps = max(1, math.ceil(tau / dt_max - 1e-12))
+    return tau / nsteps, nsteps
