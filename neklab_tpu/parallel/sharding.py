@@ -1,0 +1,80 @@
+"""SPMD element partitioning over a JAX device mesh.
+
+The reference's single parallelism strategy is MPI domain decomposition of
+spectral elements (SURVEY section 2.3). The TPU-native counterpart: one mesh
+axis 'e', every field sharded along its element axis, all cross-element
+communication (dssum scatter/gather, global-DOF CG vectors, mass-dot psums)
+emitted by XLA's SPMD partitioner from these shardings:
+
+  * element-local tensor-product kernels: fully parallel, zero comms;
+  * dssum / global scatter: all-reduce of the global-DOF accumulation
+    (correct everywhere; the halo-exchange optimized path rides on top);
+  * Krylov dots: psum — the reference's glsc3 allreduce.
+
+Multi-host: the same program under jax.distributed with the 'e' axis spanning
+all chips (ICI within host, DCN across) — nothing here changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# element-axis position per field name
+_SEM_MESH_AXES = {
+    "x": 1, "jac": 0, "rx": 2, "bm1": 0, "g": 2, "xd": 1, "rxd": 2, "bmd": 0,
+    "bm2": 0, "binv": 0, "gidx": 0, "vmult": 0, "vmask": 1, "pmask": 0,
+    "tmask": 0, "vmask_hat": None, "tmask_hat": None, "volume": None,
+}
+_FLOW_STATE_AXES = {
+    "u": 1, "p": 0, "theta": 1, "ulag": 2, "nlag": 2, "tlag": 2, "ntlag": 2,
+    "plag": 1, "time": None,
+}
+
+
+def make_device_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("e",))
+
+
+def _spec(ndim_arr: int, elem_axis: int | None) -> P:
+    if elem_axis is None:
+        return P()
+    parts = [None] * ndim_arr
+    parts[elem_axis] = "e"
+    return P(*parts)
+
+
+def _shard_dataclass(obj, axes: dict, dmesh: Mesh):
+    updates = {}
+    for f in dataclasses.fields(obj):
+        if f.name not in axes:
+            continue
+        val = getattr(obj, f.name)
+        if not hasattr(val, "ndim"):
+            continue
+        spec = _spec(val.ndim, axes[f.name])
+        updates[f.name] = jax.device_put(val, NamedSharding(dmesh, spec))
+    return dataclasses.replace(obj, **updates)
+
+
+def shard_sem_mesh(mesh, dmesh: Mesh):
+    """Shard every SemMesh array along its element axis over 'e'."""
+    return _shard_dataclass(mesh, _SEM_MESH_AXES, dmesh)
+
+
+def shard_flow_state(state, dmesh: Mesh):
+    """Shard a FlowState/PertState along element axes over 'e'."""
+    axes = {k: v for k, v in _FLOW_STATE_AXES.items()
+            if any(f.name == k for f in dataclasses.fields(state))}
+    return _shard_dataclass(state, axes, dmesh)
+
+
+def shard_field(f, dmesh: Mesh, elem_axis: int):
+    return jax.device_put(f, NamedSharding(dmesh, _spec(f.ndim, elem_axis)))
