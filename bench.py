@@ -20,6 +20,8 @@ ROUND1_BASELINE = 1.3e6  # DOF*steps/s, first unoptimized measurement (r1)
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
     from neklab_tpu.mesh.box import box_mesh
@@ -46,6 +48,12 @@ def main():
     u0 = mesh.vmask * jax.random.normal(jax.random.PRNGKey(0), (2,) + mesh.bm1.shape, dtype)
     th0 = jnp.zeros((0,) + mesh.bm1.shape, dtype)
 
+    from neklab_tpu.models.navier_stokes import _BDF, helmholtz_diag
+    from neklab_tpu.models.precond import build_e_preconditioner
+
+    pc_e = build_e_preconditioner(mesh, cfg.flow.dt / (11.0 / 6.0))
+    vdiag = helmholtz_diag(mesh, cfg.flow.viscosity, _BDF[3][0] / cfg.flow.dt, mesh.vmask_hat)
+
     nsteps = 25
     dof = 2 * mesh.nel * mesh.npts
 
@@ -55,13 +63,13 @@ def main():
         return float(np.asarray(o[0]).ravel()[:1][0])
 
     # warmup/compile
-    out = propagate(mesh, cfg, base_u, base_theta, u0, th0, nsteps)
+    out = propagate(mesh, cfg, base_u, base_theta, u0, th0, nsteps, pc_e=pc_e, vdiag=vdiag)
     sync(out)
 
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        out = propagate(mesh, cfg, base_u, base_theta, out[0], th0, nsteps)
+        out = propagate(mesh, cfg, base_u, base_theta, out[0], th0, nsteps, pc_e=pc_e, vdiag=vdiag)
         sync(out)
     elapsed = (time.time() - t0) / reps
 

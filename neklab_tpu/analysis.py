@@ -101,6 +101,68 @@ def _save_spectrum(outdir, prefix, mus, tau, intermediate=None):
 
 
 @dataclasses.dataclass
+class NewtonFPResult:
+    x: Any
+    residual_norm: float
+    converged: bool
+    iterations: int
+    history: list
+    elapsed: float
+
+
+def newton_fixed_point_iteration(
+    system,
+    x0,
+    space: VectorSpace,
+    tol: float = 1e-6,
+    maxiter: int = 40,
+    scheduler: str = "dynamic",
+    gmres_kdim: int = 64,
+    outdir: str | None = None,
+    callback=None,
+) -> NewtonFPResult:
+    """Newton-Krylov base-flow (or UPO) computation
+    (neklab_analysis.f90:158-212; defaults maxiter=40, tol=1e-6,
+    schedulers nek_constant_tol / nek_dynamic_tol)."""
+    from .krylov import constant_tol, dynamic_tol
+    from .krylov import newton as newton_solver
+
+    t0 = time.time()
+    sched = dynamic_tol(tol) if scheduler == "dynamic" else constant_tol(tol)
+    res = newton_solver(
+        system,
+        x0,
+        space,
+        tol=tol,
+        maxiter=maxiter,
+        scheduler=sched,
+        gmres_kdim=gmres_kdim,
+        callback=callback,
+    )
+    elapsed = time.time() - t0
+    logger.info(
+        "newton: converged=%s |F|=%.3e in %d its (%.1fs)",
+        res.converged,
+        res.residual_norm,
+        res.iterations,
+        elapsed,
+    )
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "residual.dat"), "w") as f:
+            for i, r in enumerate(res.history):
+                f.write(f"{i} {r:.12e}\n")
+    return NewtonFPResult(
+        x=res.x,
+        residual_norm=res.residual_norm,
+        converged=res.converged,
+        iterations=res.iterations,
+        history=res.history,
+        elapsed=elapsed,
+    )
+
+
+@dataclasses.dataclass
 class TransientGrowthResult:
     sigma: np.ndarray  # singular values of exp(tau A) = sqrt(max energy growth)
     optimal_inputs: list  # right singular vectors (optimal perturbations)

@@ -41,6 +41,7 @@ class ExponentialPropagator(LinearOperator):
         tau: float = 1.0,
         cfl: float = 0.5,
         dt: float | None = None,
+        precondition: bool = True,
     ):
         self.mesh = mesh
         self.base_u = base_u
@@ -57,18 +58,34 @@ class ExponentialPropagator(LinearOperator):
         import dataclasses
 
         self.cfg = dataclasses.replace(cfg, flow=dataclasses.replace(cfg.flow, dt=self.dt))
+        self.pc_e = None
+        g0 = 11.0 / 6.0 if cfg.flow.torder >= 3 else (1.5 if cfg.flow.torder == 2 else 1.0)
+        if precondition:
+            from ..models.precond import build_e_preconditioner
+
+            self.pc_e = build_e_preconditioner(mesh, self.dt / (g0 * cfg.flow.rho))
+        from ..models.navier_stokes import helmholtz_diag
+
+        fc = self.cfg.flow
+        self.vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask_hat)
+        self.tdiags = [
+            helmholtz_diag(mesh, fc.conductivity[i], g0 / fc.dt, mesh.tmask_hat)
+            for i in range(fc.nscal)
+        ] or None
         self._adjoint = None
 
     def matvec(self, x: dict) -> dict:
         u, theta = propagate(
-            self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"], self.nsteps
+            self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"], self.nsteps,
+            pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
         )
         return {"u": u, "theta": theta}
 
     def rmatvec(self, x: dict) -> dict:
         if self._adjoint is None:
             self._adjoint = make_adjoint_propagator(
-                self.mesh, self.cfg, self.base_u, self.base_theta, self.nsteps
+                self.mesh, self.cfg, self.base_u, self.base_theta, self.nsteps,
+                pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
             )
         u, theta = self._adjoint(x["u"], x["theta"])
         return {"u": u, "theta": theta}

@@ -129,10 +129,12 @@ def step_lin(
     source=None,
     vdiag=None,
     tdiags=None,
+    pc_e=None,
+    dt=None,
 ) -> PertState:
     """One linearized BDF(order)/EXT(order) step (homogeneous BCs)."""
     fc = cfg.flow
-    dt = fc.dt
+    dt = fc.dt if dt is None else dt
     g0, betas = _BDF[order]
     alphas = _EXT[order]
 
@@ -151,7 +153,7 @@ def step_lin(
     ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask_hat, zero, fc.vtol, fc.vmaxit, vdiag)
 
     dt_over_g0 = dt / (g0 * fc.rho)
-    psolve = make_pressure_solver(mesh, fc, dt_over_g0)
+    psolve = make_pressure_solver(mesh, fc, dt_over_g0, pc=pc_e)
     dp = psolve(-stokes.div_weak(mesh, ustar))
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
@@ -193,7 +195,7 @@ def step_lin(
 
 
 @partial(jax.jit, static_argnames=("cfg", "nsteps"))
-def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nsteps: int):
+def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nsteps: int, pc_e=None, vdiag=None, tdiags=None):
     """Linear map M: (u0, theta0) -> state after nsteps of the linearized
     solver, with a BDF1/2/3 self-starting ramp and zero initial pressure.
 
@@ -204,22 +206,27 @@ def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nst
     fc = cfg.flow
     state = pert_initial(mesh, cfg, u0, theta0)
     tmax = min(fc.torder, 3)
-    vdiag3 = helmholtz_diag(mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask_hat)
-    tdiags3 = [
+    # Jacobi diagonals: precomputed by the caller if possible — tracing the
+    # npts-probe construction inside every propagate bloats compile time.
+    vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
+        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask_hat
+    )
+    tdiags3 = tdiags if tdiags is not None else ([
         helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask_hat)
         for i in range(fc.nscal)
-    ] or None
+    ] or None)
 
     n_ramp = min(fc.torder - 1, nsteps)
     for k in range(n_ramp):
-        state = step_lin(mesh, cfg, state, base_u, base_theta, order=k + 1)
+        state = step_lin(mesh, cfg, state, base_u, base_theta, order=k + 1, pc_e=pc_e,
+                         vdiag=vdiag3, tdiags=tdiags3)
 
     remaining = nsteps - n_ramp
     if remaining > 0:
 
         def body(s, _):
             s = step_lin(
-                mesh, cfg, s, base_u, base_theta, order=tmax, vdiag=vdiag3, tdiags=tdiags3
+                mesh, cfg, s, base_u, base_theta, order=tmax, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e
             )
             return s, None
 
@@ -227,12 +234,13 @@ def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nst
     return state.u, state.theta
 
 
-def make_adjoint_propagator(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, nsteps: int):
+def make_adjoint_propagator(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, nsteps: int, pc_e=None, vdiag=None, tdiags=None):
     """Returns the exact discrete B-adjoint of `propagate` as a function
     (v_u, v_theta) -> (w_u, w_theta): w = vmask Bhat^-1 dssum( M^T (B v) )."""
 
     def fwd(u0, theta0):
-        return propagate(mesh, cfg, base_u, base_theta, u0, theta0, nsteps)
+        return propagate(mesh, cfg, base_u, base_theta, u0, theta0, nsteps, pc_e=pc_e,
+                         vdiag=vdiag, tdiags=tdiags)
 
     shape = mesh.bm1.shape
     dtype = mesh.bm1.dtype
@@ -248,3 +256,79 @@ def make_adjoint_propagator(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, n
         return au, at
 
     return adjoint
+
+
+# ---------------------------------------------------------------------------
+# harmonically forced propagation (resolvent evaluate_rhs)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "sign"))
+def propagate_forced(
+    mesh: SemMesh,
+    cfg: LinConfig,
+    base_u,
+    base_theta,
+    u0,
+    theta0,
+    f_re,
+    f_im,
+    omega,
+    nsteps: int,
+    t0=0.0,
+    sign: int = 1,
+    pc_e=None,
+    vdiag=None,
+    tdiags=None,
+    s_re=None,
+    s_im=None,
+):
+    """Integrate the linearized equations with harmonic body forcing
+    Re[(f_re + i f_im) e^{i sign omega t}] = f_re cos(s w t) - sign * f_im sin(w t).
+
+    Reference: `evaluate_rhs` of the resolvent operator
+    (/root/reference/src/linops/resolvent.f90:80-111): zero or given IC,
+    forcing refreshed every step through the forcing hook.
+    """
+    fc = cfg.flow
+    state = pert_initial(mesh, cfg, u0, theta0)
+    tmax = min(fc.torder, 3)
+    vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
+        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask_hat
+    )
+    tdiags3 = tdiags if tdiags is not None else ([
+        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask_hat)
+        for i in range(fc.nscal)
+    ] or None)
+
+    def force_at(k):
+        t = t0 + k * fc.dt
+        ph = omega * t
+        return jnp.cos(ph) * f_re - sign * jnp.sin(ph) * f_im
+
+    def source_at(k):
+        if s_re is None:
+            return None
+        t = t0 + k * fc.dt
+        ph = omega * t
+        return jnp.cos(ph) * s_re - sign * jnp.sin(ph) * s_im
+
+    n_ramp = min(fc.torder - 1, nsteps)
+    for k in range(n_ramp):
+        state = step_lin(
+            mesh, cfg, state, base_u, base_theta, order=k + 1, force=force_at(k),
+            source=source_at(k), pc_e=pc_e, vdiag=vdiag3, tdiags=tdiags3,
+        )
+
+    remaining = nsteps - n_ramp
+    if remaining > 0:
+
+        def body(s, k):
+            s = step_lin(
+                mesh, cfg, s, base_u, base_theta, order=tmax, force=force_at(k),
+                source=source_at(k), vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
+            )
+            return s, None
+
+        state, _ = lax.scan(body, state, jnp.arange(n_ramp, nsteps))
+    return state.u, state.theta

@@ -168,7 +168,7 @@ def _first_copy(mesh: SemMesh, f_local: jnp.ndarray) -> jnp.ndarray:
     return out.at[..., mesh.gidx.reshape(-1)].set(flat)
 
 
-def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0):
+def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0, pc=None):
     """Returns dp = solve(rhs) for the E operator at fixed dt/g0.
 
     For enclosed flows (pure-Neumann pressure) the constant nullspace is
@@ -182,10 +182,15 @@ def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0):
     def op(dp):
         return proj(stokes.e_op(mesh, proj(dp), dt_over_g0))
 
+    if pc is not None:
+        precond = lambda r: proj(pc.apply(proj(r)))
+    else:
+        precond = None
+
     def inner_solve(matvec, rhs):
         from .solvers import pcg
 
-        return pcg(matvec, proj(rhs), tol=cfg.ptol, maxiter=cfg.pmaxit)
+        return pcg(matvec, proj(rhs), precond=precond, tol=cfg.ptol, maxiter=cfg.pmaxit)
 
     def solve(rhs):
         dp = lax.custom_linear_solve(op, proj(rhs), solve=inner_solve, symmetric=True)
@@ -228,9 +233,14 @@ def step(
     extra_force=None,
     vdiag=None,
     tdiags=None,
+    pc_e=None,
+    dt=None,
 ) -> FlowState:
-    """One BDF(order)/EXT(order) step of the nonlinear solver."""
-    dt = cfg.dt
+    """One BDF(order)/EXT(order) step of the nonlinear solver.
+
+    dt may be a TRACED scalar (UPO period continuation varies dt at fixed
+    nsteps without recompiling); defaults to the static cfg.dt."""
+    dt = cfg.dt if dt is None else dt
     g0, betas = _BDF[order]
     alphas = _EXT[order]
     if ub is None:
@@ -259,7 +269,7 @@ def step(
     # consistency condition D(u* + du) = 0 reads E dp = -div u* (dp is then
     # the physical pressure increment).
     dt_over_g0 = dt / (g0 * cfg.rho)
-    psolve = make_pressure_solver(mesh, cfg, dt_over_g0)
+    psolve = make_pressure_solver(mesh, cfg, dt_over_g0, pc=pc_e)
     rhs_p = -stokes.div_weak(mesh, ustar)
     dp = psolve(rhs_p)
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
@@ -308,27 +318,30 @@ def step(
 
 
 @partial(jax.jit, static_argnames=("cfg", "nsteps", "ramp"))
-def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=None, tb=None, ramp: bool = True):
+def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=None, tb=None, ramp: bool = True, pc_e=None, vdiag=None, tdiags=None, dt=None):
     """Integrate nsteps with a BDF1/2/3 startup ramp (self-starting: the map
     needs no externally supplied history, unlike the reference's
     compute_rst/get_rst lag plumbing — exponential_propagator.f90:109-142 —
     which this design makes unnecessary)."""
-    vdiag3 = helmholtz_diag(mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask_hat)
-    tdiags3 = [
+    vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
+        mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask_hat
+    )
+    tdiags3 = tdiags if tdiags is not None else ([
         helmholtz_diag(mesh, cfg.conductivity[i], _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.tmask_hat)
         for i in range(cfg.nscal)
-    ] or None
+    ] or None)
 
     n_ramp = min(cfg.torder - 1, nsteps) if ramp else 0
     for k in range(n_ramp):
-        state = step(mesh, cfg, state, order=k + 1, ub=ub, tb=tb)
+        state = step(mesh, cfg, state, order=k + 1, ub=ub, tb=tb, pc_e=pc_e,
+                     vdiag=vdiag3, tdiags=tdiags3, dt=dt)
 
     remaining = nsteps - n_ramp
     if remaining <= 0:
         return state
 
     def body(s, _):
-        s = step(mesh, cfg, s, order=min(cfg.torder, 3), ub=ub, tb=tb, vdiag=vdiag3, tdiags=tdiags3)
+        s = step(mesh, cfg, s, order=min(cfg.torder, 3), ub=ub, tb=tb, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e, dt=dt)
         return s, None
 
     state, _ = lax.scan(body, state, None, length=remaining)

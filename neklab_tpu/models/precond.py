@@ -1,0 +1,157 @@
+"""Two-level additive Schwarz preconditioner for the pressure E operator.
+
+The E ("consistent Poisson") solve is the stiff part of every time step —
+the reference leans on Nek5000's semg/XXT two-level solver for it (C code;
+SURVEY section 2.2 and hard part 1). TPU-native equivalent, built once per
+(mesh, dt/g0) on the host and applied inside jit as batched dense algebra:
+
+  P^-1 r = sum_e R_e^T (E_ee)^-1 R_e r  +  R_c^T E_c^-1 R_c r
+
+  * local level: exact element-diagonal blocks E_ee of E ((n-2)^d square,
+    extracted by distance-2 graph-colored probing so neighboring elements
+    never alias), inverted and applied as one batched matmul (MXU);
+  * coarse level: piecewise-constant-per-element restriction; E_c = R E R^T
+    assembled by distance-3 colored probing, factorized dense on the host
+    and applied as a replicated [nel, nel] matmul — the XXT-coarse-solve
+    analog (every chip solves the tiny coarse problem redundantly).
+
+Cuts E-solve CG iteration counts by one to two orders of magnitude.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.core import SemMesh
+from ..utils.pytrees import pytree_dataclass
+from . import stokes
+
+
+def element_adjacency(mesh: SemMesh) -> list[set[int]]:
+    """Elements sharing any global DOF are adjacent (host-side, from gidx)."""
+    gidx = np.asarray(mesh.gidx).reshape(mesh.nel, -1)
+    dof_owners: dict[int, list[int]] = {}
+    adj: list[set[int]] = [set() for _ in range(mesh.nel)]
+    for e in range(mesh.nel):
+        for g in np.unique(gidx[e]):
+            dof_owners.setdefault(int(g), []).append(e)
+    for owners in dof_owners.values():
+        for a in owners:
+            for b in owners:
+                if a != b:
+                    adj[a].add(b)
+    return adj
+
+
+def greedy_coloring(adj: list[set[int]]) -> np.ndarray:
+    n = len(adj)
+    colors = -np.ones(n, dtype=np.int64)
+    for v in range(n):
+        used = {colors[u] for u in adj[v] if colors[u] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors
+
+
+def _square_adjacency(adj: list[set[int]]) -> list[set[int]]:
+    """Adjacency of the squared graph (distance <= 2)."""
+    out = []
+    for v, nb in enumerate(adj):
+        s = set(nb)
+        for u in nb:
+            s |= adj[u]
+        s.discard(v)
+        out.append(s)
+    return out
+
+
+@pytree_dataclass
+class ETwoLevel:
+    """Additive two-level preconditioner data (a pytree of arrays)."""
+
+    blocks_inv: jnp.ndarray  # [nel, np2, np2]
+    ec_inv: jnp.ndarray  # [nel, nel] dense inverse of the coarse operator
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        nel = r.shape[0]
+        rf = r.reshape(nel, -1)
+        local = jnp.einsum("eab,eb->ea", self.blocks_inv, rf, precision="highest")
+        rc = rf.sum(axis=1)
+        coarse = self.ec_inv @ rc
+        out = local + coarse[:, None]
+        return out.reshape(r.shape)
+
+
+def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
+    """Host-level construction (jitted probing inside). Cache per (mesh, dt)."""
+    np2 = mesh.bm2.shape[-1] ** mesh.ndim // (mesh.bm2.shape[-1] ** (mesh.ndim - 1)) ** 0  # noqa
+    np2 = int(np.prod(mesh.bm2.shape[1:]))
+    nel = mesh.nel
+    dtype = mesh.bm2.dtype
+
+    eop = jax.jit(lambda q: stokes.e_op(mesh, q, dt_over_g0))
+
+    adj = element_adjacency(mesh)
+    colors2 = greedy_coloring(adj)  # distance-1 coloring = distance-2 safe probing
+    ncol2 = int(colors2.max()) + 1
+
+    # ---- local blocks by colored probing ----
+    # probe (color c, pattern j): e_q = 1 at pattern j of every color-c element
+    blocks = np.zeros((nel, np2, np2))
+    color_mask = jnp.asarray((colors2[:, None] == np.arange(ncol2)[None, :]).astype(np.float64)).astype(dtype)  # [nel, ncol]
+
+    def probe(c, j):
+        pat = jnp.zeros((np2,), dtype).at[j].set(1.0)
+        q = (color_mask[:, c])[:, None] * pat[None, :]
+        return eop(q.reshape(mesh.bm2.shape)).reshape(nel, np2)
+
+    for c in range(ncol2):
+        sel = colors2 == c
+        for j in range(np2):
+            col = np.asarray(probe(c, j))
+            blocks[sel, :, j] = col[sel]
+
+    # symmetrize (probing is exact, this guards roundoff) and invert
+    blocks = 0.5 * (blocks + np.swapaxes(blocks, 1, 2))
+    # regularize: the all-Neumann global constant can make the aggregate
+    # nearly singular on tiny meshes
+    tr = np.trace(blocks, axis1=1, axis2=2) / np2
+    blocks += (1e-8 * np.maximum(tr, 1e-30))[:, None, None] * np.eye(np2)[None]
+    blocks_inv = np.linalg.inv(blocks)
+
+    # ---- coarse operator by distance-3 colored probing ----
+    adj2 = _square_adjacency(adj)
+    colors3 = greedy_coloring(adj2)
+    ncol3 = int(colors3.max()) + 1
+    ec = np.zeros((nel, nel))
+    ones_pat = jnp.ones((np2,), dtype)
+    gidx_el = [np.unique(np.asarray(mesh.gidx).reshape(nel, -1)[e]) for e in range(nel)]
+
+    # support of E 1_e = e and its neighbors; with distance-3 coloring the
+    # supports of same-color probes are disjoint, so row sums attribute
+    # uniquely to the nearest probed element
+    nbr_plus = [set([e]) | adj[e] for e in range(nel)]
+    for c in range(ncol3):
+        mask_c = jnp.asarray((colors3 == c).astype(np.float64)).astype(dtype)
+        q = mask_c[:, None] * ones_pat[None, :]
+        out = np.asarray(eop(q.reshape(mesh.bm2.shape)).reshape(nel, np2)).sum(axis=1)
+        for e in np.nonzero(colors3 == c)[0]:
+            for e2 in nbr_plus[e]:
+                ec[e2, e] = out[e2]
+    ec = 0.5 * (ec + ec.T)
+    # nullspace: constants (enclosed flows). Shift the constant mode by a
+    # O(diag)-sized sigma so E_c^-1 acts like a pseudo-inverse with a modest
+    # (1/sigma) response on the nullspace; the solver projects it out anyway.
+    if mesh.p_fixed:
+        sigma = np.abs(np.diag(ec)).mean()
+        ec = ec + sigma * np.ones((nel, nel)) / nel
+    ec_inv = np.linalg.inv(ec)
+
+    return ETwoLevel(
+        blocks_inv=jnp.asarray(blocks_inv, dtype),
+        ec_inv=jnp.asarray(ec_inv, dtype),
+    )
