@@ -322,13 +322,41 @@ def propagate_forced(
 
     remaining = nsteps - n_ramp
     if remaining > 0:
+        # The forcing rides in the scan carry as a phase-rotating complex
+        # amplitude z = (f_re + i s f_im) e^{i w t}: force(t) = Re[z].
+        # (A loop-invariant linear carry or closure would break scan
+        # transposition, which the adjoint resolvent relies on.)
+        ph0 = omega * (t0 + n_ramp * fc.dt)
+        c0, s0 = jnp.cos(ph0), jnp.sin(ph0)
+        dph = omega * fc.dt
+        cd, sd = jnp.cos(dph), jnp.sin(dph)
 
-        def body(s, k):
-            s = step_lin(
-                mesh, cfg, s, base_u, base_theta, order=tmax, force=force_at(k),
-                source=source_at(k), vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
+        def rot0(re, im):
+            im = sign * im
+            return c0 * re - s0 * im, s0 * re + c0 * im
+
+        def rot_step(zr, zi):
+            return cd * zr - sd * zi, sd * zr + cd * zi
+
+        zr0, zi0 = rot0(f_re, f_im)
+        if s_re is not None and s_re.size:
+            wr0, wi0 = rot0(s_re, s_im)
+        else:
+            wr0 = jnp.zeros_like(state.theta)
+            wi0 = jnp.zeros_like(state.theta)
+
+        def body(carry, _):
+            st, zr, zi, wr, wi = carry
+            source = wr if cfg.nscal else None
+            st = step_lin(
+                mesh, cfg, st, base_u, base_theta, order=tmax, force=zr,
+                source=source, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
             )
-            return s, None
+            zr, zi = rot_step(zr, zi)
+            wr, wi = rot_step(wr, wi)
+            return (st, zr, zi, wr, wi), None
 
-        state, _ = lax.scan(body, state, jnp.arange(n_ramp, nsteps))
+        carry = (state, zr0, zi0, wr0, wi0)
+        carry, _ = lax.scan(body, carry, None, length=remaining)
+        state = carry[0]
     return state.u, state.theta
