@@ -15,7 +15,11 @@ Usage: python examples/cylinder_stability.py [--preset coarse|medium|fine]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -147,4 +147,5 @@ def box_mesh(
 
     geom = compute_geom(x, basis)
     bc_meta = tuple(sorted(bc.items())) + tuple(sorted(("T:" + k, v) for k, v in bc_temp.items()))
+    bc_meta = bc_meta + (("__box__", "x".join(str(v) for v in nels)),)
     return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype)

@@ -99,3 +99,21 @@ def test_transient_growth(poiseuille):
     diff = tree_axpby(1.0, mv, -float(res.sigma[0]), u1)
     num = np.sqrt(space.dot(diff, diff))
     assert num < 1e-5 * res.sigma[0]
+
+
+def test_projected_propagator_alpha1(poiseuille):
+    # exptA_proj: restricting to the alpha=1 Fourier mode must yield the OS
+    # alpha=1 branch (reference examples/poiseuille/stability/direct_alpha_1)
+    from neklab_tpu.linops.projected import ProjectedPropagator
+
+    mesh, expA, space = poiseuille
+    proj = ProjectedPropagator(expA, alpha=1.0)
+    res = linear_stability_analysis_fixed_point(
+        proj, space, kdim=30, nev=2, tol=1e-7, maxiter=10
+    )
+    lam = res.eigvals[0]
+    oracle = orr_sommerfeld_spectrum(RE, 1.0, 96)[0]
+    assert abs(lam.real - oracle.real) < 2e-4
+    assert abs(abs(lam.imag) - abs(oracle.imag)) < 2e-4
+    # the alpha=0 shear modes (leading unprojected) must be absent
+    assert abs(lam.real - (-(1 / RE) * (np.pi / 2) ** 2)) > 1e-2
