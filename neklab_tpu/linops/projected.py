@@ -47,14 +47,15 @@ class ProjectedPropagator(LinearOperator):
             raise NotImplementedError("ProjectedPropagator: 2-D for now")
         nelx, nely = _box_shape(mesh)
         n = mesh.basis.n
-        self.shape_el = (nely, nelx, n, n)
+        # element-last layout: field [.., j, i, nel] with nel C-ordered (ey, ex)
+        self.shape_el = (n, n, nely, nelx)
         x = np.asarray(mesh.x[0]).reshape(self.shape_el)
-        dxe = x[0, :, 0, -1] - x[0, :, 0, 0]  # [nelx] element widths
+        dxe = x[0, -1, 0, :] - x[0, 0, 0, :]  # [nelx] element widths
         w = np.asarray(mesh.basis.w)
-        self.wx = jnp.asarray((dxe[:, None] / 2.0) * w[None, :], mesh.bm1.dtype)  # [nelx, n]
+        self.wx = jnp.asarray((dxe[:, None] / 2.0) * w[None, :], mesh.bm1.dtype)  # [nelx, n_i]
         self.lx = float(dxe.sum())
         xj = jnp.asarray(x, mesh.bm1.dtype)
-        self.cv = jnp.cos(alpha * xj)  # [nely, nelx, n, n]
+        self.cv = jnp.cos(alpha * xj)  # [j, i, ney, nex]
         self.sv = jnp.sin(alpha * xj)
         self.alpha = float(alpha)
         # ||cos(alpha x)||^2 over a full period = Lx/2 (alpha = 0: Lx)
@@ -66,14 +67,14 @@ class ProjectedPropagator(LinearOperator):
         return self.exptA.tau
 
     def _project_field(self, f: jnp.ndarray) -> jnp.ndarray:
-        """[..., nel, n, n] -> projection onto the alpha mode (same shape)."""
+        """[..., j, i, nel] -> projection onto the alpha mode (same shape)."""
         lead = f.shape[:-3]
         g = f.reshape(lead + self.shape_el)
-        a = jnp.einsum("...yxji,xi,yxji->...yj", g, self.wx, self.cv) / self.cnorm
-        rec = jnp.einsum("...yj,yxji->...yxji", a, self.cv)
+        a = jnp.einsum("...jiyx,xi,jiyx->...jy", g, self.wx, self.cv) / self.cnorm
+        rec = jnp.einsum("...jy,jiyx->...jiyx", a, self.cv)
         if self.alpha != 0.0:
-            b = jnp.einsum("...yxji,xi,yxji->...yj", g, self.wx, self.sv) / self.cnorm
-            rec = rec + jnp.einsum("...yj,yxji->...yxji", b, self.sv)
+            b = jnp.einsum("...jiyx,xi,jiyx->...jy", g, self.wx, self.sv) / self.cnorm
+            rec = rec + jnp.einsum("...jy,jiyx->...jiyx", b, self.sv)
         return rec.reshape(f.shape)
 
     def _project(self, v: dict) -> dict:

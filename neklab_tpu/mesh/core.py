@@ -76,7 +76,12 @@ def build_mesh(
     bc: tuple = (),
     dtype=jnp.float64,
 ) -> SemMesh:
-    """Finalize host-side geometry + connectivity into a device SemMesh."""
+    """Finalize host-side geometry + connectivity into a device SemMesh.
+
+    Inputs use the builder-friendly ELEMENT-FIRST layout ([.., nel, pts..]);
+    the stored device arrays are transposed to the TPU-friendly ELEMENT-LAST
+    layout ([.., pts.., nel]) — see ops/tensor.py.
+    """
     ndim = geom.ndim
     nel = geom.x.shape[1]
     gidx = np.asarray(gidx, dtype=np.int32)
@@ -107,6 +112,9 @@ def build_mesh(
     pure_neumann = bool(np.all(pmask > 0.5))
     bc = tuple(bc) + ((("__pure_neumann__", "1"),) if pure_neumann else ())
 
+    def el_last(a: np.ndarray, nel_axis: int) -> np.ndarray:
+        return np.ascontiguousarray(np.moveaxis(a, nel_axis, -1))
+
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     return SemMesh(
         basis=basis,
@@ -114,21 +122,21 @@ def build_mesh(
         nel=nel,
         nglob=nglob,
         bc=bc,
-        x=cast(geom.x),
-        jac=cast(geom.jac),
-        rx=cast(geom.rx),
-        bm1=cast(geom.bm1),
-        g=cast(geom.g),
-        xd=cast(geom.xd),
-        rxd=cast(geom.rxd),
-        bmd=cast(geom.bmd),
-        bm2=cast(geom.bm2),
-        binv=cast(binv),
-        gidx=jnp.asarray(gidx),
-        vmult=cast(vmult),
-        vmask=cast(vmask),
-        pmask=cast(pmask),
-        tmask=cast(tmask),
+        x=cast(el_last(geom.x, 1)),
+        jac=cast(el_last(geom.jac, 0)),
+        rx=cast(el_last(geom.rx, 2)),
+        bm1=cast(el_last(geom.bm1, 0)),
+        g=cast(el_last(geom.g, 2)),
+        xd=cast(el_last(geom.xd, 1)),
+        rxd=cast(el_last(geom.rxd, 2)),
+        bmd=cast(el_last(geom.bmd, 0)),
+        bm2=cast(el_last(geom.bm2, 0)),
+        binv=cast(el_last(binv, 0)),
+        gidx=jnp.asarray(el_last(gidx, 0)),
+        vmult=cast(el_last(vmult, 0)),
+        vmask=cast(el_last(vmask, 1)),
+        pmask=cast(el_last(pmask, 0)),
+        tmask=cast(el_last(tmask, 0)),
         vmask_hat=cast(vmask_hat),
         tmask_hat=cast(tmask_hat),
         volume=cast((geom.bm1).sum()),

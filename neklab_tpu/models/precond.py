@@ -31,7 +31,7 @@ from . import stokes
 
 def element_adjacency(mesh: SemMesh) -> list[set[int]]:
     """Elements sharing any global DOF are adjacent (host-side, from gidx)."""
-    gidx = np.asarray(mesh.gidx).reshape(mesh.nel, -1)
+    gidx = np.asarray(mesh.gidx).reshape(-1, mesh.nel).T  # [nel, npts]
     dof_owners: dict[int, list[int]] = {}
     adj: list[set[int]] = [set() for _ in range(mesh.nel)]
     for e in range(mesh.nel):
@@ -77,19 +77,18 @@ class ETwoLevel:
     ec_inv: jnp.ndarray  # [nel, nel] dense inverse of the coarse operator
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
-        nel = r.shape[0]
-        rf = r.reshape(nel, -1)
-        local = jnp.einsum("eab,eb->ea", self.blocks_inv, rf, precision="highest")
-        rc = rf.sum(axis=1)
+        nel = r.shape[-1]
+        rf = r.reshape(-1, nel)  # [np2, nel] (element-last)
+        local = jnp.einsum("eab,be->ae", self.blocks_inv, rf, precision="highest")
+        rc = rf.sum(axis=0)
         coarse = self.ec_inv @ rc
-        out = local + coarse[:, None]
+        out = local + coarse[None, :]
         return out.reshape(r.shape)
 
 
 def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
     """Host-level construction (jitted probing inside). Cache per (mesh, dt)."""
-    np2 = mesh.bm2.shape[-1] ** mesh.ndim // (mesh.bm2.shape[-1] ** (mesh.ndim - 1)) ** 0  # noqa
-    np2 = int(np.prod(mesh.bm2.shape[1:]))
+    np2 = int(np.prod(mesh.bm2.shape[:-1]))  # pressure pts per element (element-last)
     nel = mesh.nel
     dtype = mesh.bm2.dtype
 
@@ -106,14 +105,14 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
 
     def probe(c, j):
         pat = jnp.zeros((np2,), dtype).at[j].set(1.0)
-        q = (color_mask[:, c])[:, None] * pat[None, :]
-        return eop(q.reshape(mesh.bm2.shape)).reshape(nel, np2)
+        q = pat[:, None] * (color_mask[:, c])[None, :]  # [np2, nel]
+        return eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel)
 
     for c in range(ncol2):
         sel = colors2 == c
         for j in range(np2):
-            col = np.asarray(probe(c, j))
-            blocks[sel, :, j] = col[sel]
+            col = np.asarray(probe(c, j))  # [np2, nel]
+            blocks[sel, :, j] = col[:, sel].T
 
     # symmetrize (probing is exact, this guards roundoff) and invert
     blocks = 0.5 * (blocks + np.swapaxes(blocks, 1, 2))
@@ -129,7 +128,6 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
     ncol3 = int(colors3.max()) + 1
     ec = np.zeros((nel, nel))
     ones_pat = jnp.ones((np2,), dtype)
-    gidx_el = [np.unique(np.asarray(mesh.gidx).reshape(nel, -1)[e]) for e in range(nel)]
 
     # support of E 1_e = e and its neighbors; with distance-3 coloring the
     # supports of same-color probes are disjoint, so row sums attribute
@@ -137,8 +135,8 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
     nbr_plus = [set([e]) | adj[e] for e in range(nel)]
     for c in range(ncol3):
         mask_c = jnp.asarray((colors3 == c).astype(np.float64)).astype(dtype)
-        q = mask_c[:, None] * ones_pat[None, :]
-        out = np.asarray(eop(q.reshape(mesh.bm2.shape)).reshape(nel, np2)).sum(axis=1)
+        q = ones_pat[:, None] * mask_c[None, :]  # [np2, nel]
+        out = np.asarray(eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel)).sum(axis=0)
         for e in np.nonzero(colors3 == c)[0]:
             for e2 in nbr_plus[e]:
                 ec[e2, e] = out[e2]

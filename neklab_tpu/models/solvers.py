@@ -100,12 +100,13 @@ def linear_solve(
 def local_diagonal(op_local: Callable, shape, dtype, ndim_pts: int):
     """Exact diagonal of an element-local operator by probing.
 
-    op_local maps [nel, pts...] -> [nel, pts...] elementwise per element.
-    Probes every within-element basis function simultaneously across all
-    elements (npts = prod of pts axes probes, vmapped). The diagonal of the
-    ASSEMBLED operator is then dssum(local diagonal).
+    op_local maps [pts..., nel] -> [pts..., nel] elementwise per element
+    (element-LAST layout). Probes every within-element basis function
+    simultaneously across all elements (npts vmapped probes). The diagonal of
+    the ASSEMBLED operator is then scatter_global(local diagonal).
     """
-    pts_shape = shape[-ndim_pts:]
+    pts_shape = shape[-ndim_pts - 1 : -1]
+    nel = shape[-1]
     npts = 1
     for s in pts_shape:
         npts *= s
@@ -113,11 +114,12 @@ def local_diagonal(op_local: Callable, shape, dtype, ndim_pts: int):
     eye = jnp.eye(npts, dtype=dtype)  # [npts, npts]
 
     def probe_node(e_flat):
-        e = jnp.broadcast_to(e_flat.reshape(pts_shape), shape)
+        e = jnp.broadcast_to(e_flat.reshape(pts_shape + (1,)), shape)
         out = op_local(e)
-        return (out * e).reshape(shape[:-ndim_pts] + (npts,)).sum(-1)  # [lead..., ] value at node
+        # value at the probed node, per element: sum over pts of out * e
+        return (out * e).reshape(shape[: -ndim_pts - 1] + (npts, nel)).sum(-2)
 
-    vals = jax.vmap(probe_node)(eye)  # [npts, lead...]
-    lead = shape[:-ndim_pts]
-    vals = jnp.moveaxis(vals, 0, -1)  # [lead..., npts]
-    return vals.reshape(lead + pts_shape)
+    vals = jax.vmap(probe_node)(eye)  # [npts, lead..., nel]
+    lead = shape[: -ndim_pts - 1]
+    vals = jnp.moveaxis(vals, 0, -2)  # [lead..., npts, nel]
+    return vals.reshape(lead + pts_shape + (nel,))

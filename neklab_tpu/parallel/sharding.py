@@ -23,15 +23,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# element-axis position per field name
+# element-axis position per field name (element-LAST layout: -1 everywhere
+# except unsharded global/scalar fields)
 _SEM_MESH_AXES = {
-    "x": 1, "jac": 0, "rx": 2, "bm1": 0, "g": 2, "xd": 1, "rxd": 2, "bmd": 0,
-    "bm2": 0, "binv": 0, "gidx": 0, "vmult": 0, "vmask": 1, "pmask": 0,
-    "tmask": 0, "vmask_hat": None, "tmask_hat": None, "volume": None,
+    "x": -1, "jac": -1, "rx": -1, "bm1": -1, "g": -1, "xd": -1, "rxd": -1,
+    "bmd": -1, "bm2": -1, "binv": -1, "gidx": -1, "vmult": -1, "vmask": -1,
+    "pmask": -1, "tmask": -1, "vmask_hat": None, "tmask_hat": None,
+    "volume": None,
 }
 _FLOW_STATE_AXES = {
-    "u": 1, "p": 0, "theta": 1, "ulag": 2, "nlag": 2, "tlag": 2, "ntlag": 2,
-    "plag": 1, "time": None,
+    "u": -1, "p": -1, "theta": -1, "ulag": -1, "nlag": -1, "tlag": -1,
+    "ntlag": -1, "plag": -1, "time": None,
 }
 
 
@@ -47,7 +49,7 @@ def _spec(ndim_arr: int, elem_axis: int | None) -> P:
     if elem_axis is None:
         return P()
     parts = [None] * ndim_arr
-    parts[elem_axis] = "e"
+    parts[elem_axis % ndim_arr] = "e"
     return P(*parts)
 
 

@@ -18,12 +18,14 @@ from ..mesh.core import SemMesh
 
 def min_grid_spacing(mesh: SemMesh) -> np.ndarray:
     """Per-node characteristic spacing: min distance to the neighboring GLL
-    node along each reference direction (host-side, numpy)."""
-    x = np.asarray(mesh.x)  # [ndim, nel, ...]
+    node along each reference direction (host-side, numpy).
+
+    x layout: [ndim, pts..., nel] (element-last)."""
+    x = np.asarray(mesh.x)
     ndim = mesh.ndim
     d2 = None
     for ax in range(ndim):
-        a = x.ndim - 1 - ax  # array axis (in x) for this reference direction
+        a = x.ndim - 2 - ax  # array axis (in x) for reference direction ax (r first)
         diff = np.diff(x, axis=a)
         dist = np.sqrt((diff**2).sum(axis=0))  # component axis dropped
         ad = a - 1  # the same axis within dist

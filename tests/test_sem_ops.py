@@ -157,12 +157,13 @@ def test_periodic_connectivity():
 def test_masks():
     mesh = _mesh2d(bc={"x-": "v", "x+": "O", "y-": "W", "y+": "SYM"})
     # velocity mask zero on inflow and walls, free on outflow
+    # element-LAST layout: [ndim, s, r, nel] with nel C-ordered (ey, ex)
     vm = np.asarray(mesh.vmask)
-    full = vm.reshape(2, 2, 3, 7, 7)  # [ndim, nely, nelx, s, r]
+    full = vm.reshape(2, 7, 7, 2, 3)  # [ndim, s, r, nely, nelx]
     assert np.all(full[:, :, 0, :, 0] == 0)  # inflow x-: both comps
     assert np.all(full[:, 0, :, 0, :] == 0)  # wall y-
     assert np.all(full[1, -1, :, -1, :] == 0)  # SYM y+: normal comp only
-    assert np.all(full[0, -1, 1:2, -1, 1:-1] == 1)  # SYM tangential free
-    pm = np.asarray(mesh.pmask).reshape(2, 3, 7, 7)
+    assert np.all(full[0, -1, 1:-1, -1, 1:2] == 1)  # SYM tangential free
+    pm = np.asarray(mesh.pmask).reshape(7, 7, 2, 3)
     assert np.all(pm[:, -1, :, -1] == 0)  # outflow pressure pinned
-    assert np.all(pm[:, 0, :, :] == 1)
+    assert np.all(pm[:, :, 0, 0] == 1)
