@@ -94,8 +94,18 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
 
     eop = jax.jit(lambda q: stokes.e_op(mesh, q, dt_over_g0))
 
+    # native (C++) adjacency/coloring when available — the Python fallback is
+    # O(slow) at production element counts (SURVEY 2.2: gslib-setup analog)
+    from .. import native
+
+    gidx_el = np.asarray(mesh.gidx).reshape(-1, mesh.nel).T
+    nat = native.adjacency_colorings(gidx_el, nel)
     adj = element_adjacency(mesh)
-    colors2 = greedy_coloring(adj)  # distance-1 coloring = distance-2 safe probing
+    if nat is not None:
+        colors2, colors3_nat = nat
+    else:
+        colors2 = greedy_coloring(adj)
+        colors3_nat = None
     ncol2 = int(colors2.max()) + 1
 
     # ---- local blocks by colored probing ----
@@ -123,8 +133,10 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
     blocks_inv = np.linalg.inv(blocks)
 
     # ---- coarse operator by distance-3 colored probing ----
-    adj2 = _square_adjacency(adj)
-    colors3 = greedy_coloring(adj2)
+    if colors3_nat is not None:
+        colors3 = colors3_nat
+    else:
+        colors3 = greedy_coloring(_square_adjacency(adj))
     ncol3 = int(colors3.max()) + 1
     ec = np.zeros((nel, nel))
     ones_pat = jnp.ones((np2,), dtype)
