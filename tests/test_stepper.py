@@ -171,3 +171,25 @@ def test_linearized_matches_nonlinear_difference():
     fd = (s_pert.u - s_base.u) / eps
     err = _rel_l2(mesh, mu, fd)
     assert err < 1e-5, err
+
+
+def test_3d_forced_channel_steady():
+    # full 3-D path: tensor kernels, P(N)/P(N-2) pressure, Helmholtz solves
+    nu3 = 0.8
+    mesh = box_mesh(
+        (2, 2, 2), ((0, 2.0), (-1, 1), (0, 2.0)),
+        {"x-": "P", "x+": "P", "y-": "W", "y+": "W", "z-": "P", "z+": "P"},
+        order=4,
+    )
+
+    def forcing(m, t, u, th):
+        return jnp.zeros((3,) + m.bm1.shape, m.bm1.dtype).at[0].set(2.0 * nu3)
+
+    from neklab_tpu.models.precond import build_e_preconditioner
+
+    cfg = FlowConfig(viscosity=nu3, dt=2e-2, vtol=1e-12, ptol=1e-12, forcing_fn=forcing)
+    pc = build_e_preconditioner(mesh, 2e-2 / (11 / 6))
+    st = advance(mesh, cfg, initial_state(mesh, cfg), 460, pc_e=pc)
+    y = mesh.x[1]
+    ue = jnp.stack([1 - y**2, 0 * y, 0 * y])
+    assert _rel_l2(mesh, st.u, ue) < 1e-6
