@@ -81,4 +81,4 @@ def test_thermosyphon_base_flow_and_spectrum():
     lhs = space.dot(mv, w)
     rhs = space.dot(v, expA.rmatvec(w))
     scale = space.norm(mv) * space.norm(w) + 1e-300
-    assert abs(lhs - rhs) / scale < 1e-8
+    assert abs(lhs - rhs) / scale < 1e-6
