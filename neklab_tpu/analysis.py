@@ -81,13 +81,28 @@ def linear_stability_analysis_fixed_point(
         elapsed,
         lam[0],
     )
+    eigenvectors = res.eigenvectors()
     if outdir:
         _save_spectrum(outdir, prefix, res.eigvals, exptA.tau)
+        # outpost eigenvector fields (re/im split) — the reference's
+        # outpost_dnek(eigvecs) at neklab_analysis.f90:93
+        from .utils.io import outpost
+
+        for i, v in enumerate(eigenvectors):
+            fields = {}
+            for name, leaf in v.items():
+                arr = np.asarray(leaf)
+                if np.iscomplexobj(arr):
+                    fields[name + "_re"] = arr.real
+                    fields[name + "_im"] = arr.imag
+                else:
+                    fields[name] = arr
+            outpost(outdir, fields, prefix=prefix, case="mode", counter=i + 1)
     return StabilityResult(
         eigvals=lam,
         multipliers=res.eigvals,
         residuals=res.residuals,
-        eigenvectors=res.eigenvectors(),
+        eigenvectors=eigenvectors,
         n_matvec=res.n_matvec,
         elapsed=elapsed,
     )
