@@ -148,4 +148,9 @@ def box_mesh(
     geom = compute_geom(x, basis)
     bc_meta = tuple(sorted(bc.items())) + tuple(sorted(("T:" + k, v) for k, v in bc_temp.items()))
     bc_meta = bc_meta + (("__box__", "x".join(str(v) for v in nels)),)
+    if ndim == 2:
+        # structured-dssum metadata: (nel_s, nel_r, per_s, per_r)
+        bc_meta = bc_meta + (
+            ("__struct__", f"{nels[1]},{nels[0]},{int(periodic[1])},{int(periodic[0])}"),
+        )
     return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype)

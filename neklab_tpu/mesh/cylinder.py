@@ -113,5 +113,9 @@ def annulus_mesh(
     tmask = tmask.reshape(nel, n, n)
 
     geom = compute_geom(x, basis)
-    bc_meta = (("inner", "W"), ("outer", outer_bc))
+    bc_meta = (
+        ("inner", "W"),
+        ("outer", outer_bc),
+        ("__struct__", f"{nel_t},{nel_r},1,0"),  # theta periodic, r not
+    )
     return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype)

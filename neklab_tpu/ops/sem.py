@@ -38,20 +38,63 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def _struct_info(mesh: SemMesh):
+    for k, v in mesh.bc:
+        if k == "__struct__":
+            a = v.split(",")
+            return (int(a[0]), int(a[1])), (bool(int(a[2])), bool(int(a[3])))
+    return None
+
+
 def dssum(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
     """Direct-stiffness sum: add all element-local copies of each shared DOF
-    and write the sum back into every copy. Works on [..., nel, pts...] fields
-    with arbitrary leading axes (applied independently per leading index).
+    and write the sum back into every copy. Works on [..., pts..., nel]
+    fields with arbitrary leading axes.
 
     Equivalent of Nek5000 `dssum`/`opdssum` via gslib (SURVEY section 2.2).
+    Structured (box/annulus) meshes use the scatter-free factorized face
+    exchange — pure rolls/slices, which XLA maps onto the TPU far better
+    than a gather/scatter into the global-DOF array; unstructured meshes
+    fall back to the general scatter path.
     """
     if f.size == 0:  # zero-size leading axes (e.g. nscal=0 scalar stacks)
         return f
+    info = _struct_info(mesh)
+    if info is not None and mesh.ndim == 2:
+        return _dssum_structured_2d(f, mesh.basis.n, *info)
     lead = f.shape[: f.ndim - mesh.gidx.ndim]
     flat = f.reshape(lead + (-1,))
     gsum = jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
     out = gsum[..., mesh.gidx.reshape(-1)]
     return out.reshape(f.shape)
+
+
+def _dssum_structured_2d(f, n, els, periodic):
+    """Factorized direct-stiffness sum on a structured 2-D element grid.
+
+    f: [..., s, r, nel] with nel C-ordered (el_s, el_r); per-direction face
+    sums applied sequentially (corners handled by the factorization)."""
+    lead = f.shape[:-3]
+    g = f.reshape(lead + (n, n, els[0], els[1]))
+    # r-direction: node axis -3, element axis -1
+    right = g[..., :, -1, :, :]
+    left = g[..., :, 0, :, :]
+    if periodic[1]:
+        srl = right + jnp.roll(left, -1, axis=-1)
+        g = g.at[..., :, -1, :, :].set(srl).at[..., :, 0, :, :].set(jnp.roll(srl, 1, axis=-1))
+    elif els[1] > 1:
+        srl = right[..., :-1] + left[..., 1:]
+        g = g.at[..., :, -1, :, :-1].set(srl).at[..., :, 0, :, 1:].set(srl)
+    # s-direction: node axis -4, element axis -2
+    top = g[..., -1, :, :, :]
+    bot = g[..., 0, :, :, :]
+    if periodic[0]:
+        stb = top + jnp.roll(bot, -1, axis=-2)
+        g = g.at[..., -1, :, :, :].set(stb).at[..., 0, :, :, :].set(jnp.roll(stb, 1, axis=-2))
+    elif els[0] > 1:
+        stb = top[..., :-1, :] + bot[..., 1:, :]
+        g = g.at[..., -1, :, :-1, :].set(stb).at[..., 0, :, 1:, :].set(stb)
+    return g.reshape(f.shape)
 
 
 def dsavg(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
