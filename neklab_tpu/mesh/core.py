@@ -40,8 +40,9 @@ class SemMesh:
     bm2: jnp.ndarray  # [nel, ...2] pressure-grid mass
     binv: jnp.ndarray  # [nel, ...] inverse of the assembled (diagonal) mass
     # connectivity
-    gidx: jnp.ndarray  # int32 [nel, ...] global DOF ids
-    vmult: jnp.ndarray  # [nel, ...] 1/multiplicity
+    gidx: jnp.ndarray  # int32 [pts..., nel] global DOF ids
+    gfirst: jnp.ndarray  # int32 [nglob] flat position of one copy of each DOF
+    vmult: jnp.ndarray  # [pts..., nel] 1/multiplicity
     # masks: 1.0 on free DOFs, 0.0 on constrained DOFs
     vmask: jnp.ndarray  # [ndim, nel, ...] velocity component masks
     pmask: jnp.ndarray  # [nel, ...] pressure mask (0 where p Dirichlet, e.g. outflow)
@@ -112,10 +113,14 @@ def build_mesh(
     pure_neumann = bool(np.all(pmask > 0.5))
     bc = tuple(bc) + ((("__pure_neumann__", "1"),) if pure_neumann else ())
 
+
     def el_last(a: np.ndarray, nel_axis: int) -> np.ndarray:
         return np.ascontiguousarray(np.moveaxis(a, nel_axis, -1))
 
     cast = lambda a: jnp.asarray(a, dtype=dtype)
+    # first-copy position of every global DOF in the ELEMENT-LAST flattening
+    gidx_el_last = np.moveaxis(gidx, 0, -1).reshape(-1)
+    _, first_pos = np.unique(gidx_el_last, return_index=True)
     return SemMesh(
         basis=basis,
         ndim=ndim,
@@ -133,6 +138,7 @@ def build_mesh(
         bm2=cast(el_last(geom.bm2, 0)),
         binv=cast(el_last(binv, 0)),
         gidx=jnp.asarray(el_last(gidx, 0)),
+        gfirst=jnp.asarray(first_pos.astype(np.int32)),
         vmult=cast(el_last(vmult, 0)),
         vmask=cast(el_last(vmask, 1)),
         pmask=cast(el_last(pmask, 0)),

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from ..mesh.core import SemMesh
 from ..ops import sem
+from ..ops import tensor as _tensor
 from ..ops.tensor import apply_r, apply_s, apply_t, grad_rst, interp_nd, interp_nd_t
+
+
+def tensor_precision():
+    return _tensor.PRECISION
 
 
 def _d(mesh: SemMesh):

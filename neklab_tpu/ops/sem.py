@@ -17,7 +17,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..mesh.core import SemMesh
+from . import tensor as _tensor
 from .tensor import apply_r, apply_s, apply_t, grad_rst, interp_nd, interp_nd_t
+
+
+def tensor_precision():
+    return _tensor.PRECISION
 
 __all__ = [
     "dssum",
@@ -115,10 +120,17 @@ def gather_global(mesh: SemMesh, fhat: jnp.ndarray) -> jnp.ndarray:
 
 
 def scatter_global(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
-    """Q^T: local copies [..., nel, pts] -> global sums [..., nglob]."""
+    """Q^T: local copies [..., pts..., nel] -> global sums [..., nglob].
+
+    Structured meshes: factorized-face dssum (no scatter) + a first-copy
+    gather; unstructured: scatter-add into the global array."""
     if f.size == 0:
         return f.reshape(f.shape[: f.ndim - mesh.gidx.ndim] + (mesh.nglob,))
     lead = f.shape[: f.ndim - mesh.gidx.ndim]
+    info = _struct_info(mesh)
+    if info is not None and mesh.ndim == 2:
+        summed = _dssum_structured_2d(f, mesh.basis.n, *info)
+        return summed.reshape(lead + (-1,))[..., mesh.gfirst]
     flat = f.reshape(lead + (-1,))
     return jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
 
@@ -134,7 +146,7 @@ def grad(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     du/dx_j = sum_a rx[a, j] * du/dr_a.
     """
     durst = jnp.stack(grad_rst(u, _d(mesh), mesh.ndim))
-    return jnp.einsum("aj...,a...->j...", mesh.rx, durst, precision="highest")
+    return jnp.einsum("aj...,a...->j...", mesh.rx, durst, precision=tensor_precision())
 
 
 def _d(mesh: SemMesh):
@@ -148,7 +160,7 @@ def stiffness_local(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     """
     d = _d(mesh)
     du = jnp.stack(grad_rst(u, d, mesh.ndim))  # [ndim(ref), nel, ...]
-    flux = jnp.einsum("ab...,b...->a...", mesh.g, du, precision="highest")
+    flux = jnp.einsum("ab...,b...->a...", mesh.g, du, precision=tensor_precision())
     dt = d.T
     if mesh.ndim == 2:
         return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
@@ -169,7 +181,7 @@ def wgradp_t(mesh: SemMesh, v: jnp.ndarray) -> jnp.ndarray:
     """
     d = _d(mesh)
     wjac = mesh.bm1  # w * jac
-    flux = jnp.einsum("ak...,k...->a...", mesh.rx, v, precision="highest") * wjac
+    flux = jnp.einsum("ak...,k...->a...", mesh.rx, v, precision=tensor_precision()) * wjac
     dt = d.T
     if mesh.ndim == 2:
         return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
@@ -192,7 +204,7 @@ def grad_d(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
     durst = grad_rst(u, d, mesh.ndim)
     durst_d = jnp.stack([interp_nd(jd, c, mesh.ndim) for c in durst])
-    return jnp.einsum("aj...,a...->j...", mesh.rxd, durst_d, precision="highest")
+    return jnp.einsum("aj...,a...->j...", mesh.rxd, durst_d, precision=tensor_precision())
 
 
 def convect_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -208,7 +220,7 @@ def convect_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
     gu_d = grad_d(mesh, u)  # [ndim, nel, ...d]
     c_d = jnp.stack([interp_nd(jd, ci, mesh.ndim) for ci in c])
-    s = jnp.einsum("k...,k...->...", c_d, gu_d, precision="highest") * mesh.bmd
+    s = jnp.einsum("k...,k...->...", c_d, gu_d, precision=tensor_precision()) * mesh.bmd
     return interp_nd_t(jd, s, mesh.ndim)
 
 

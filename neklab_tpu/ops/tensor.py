@@ -15,22 +15,32 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Contraction precision: "highest" guarantees fp32-exact matmuls (needed for
+# the f64 CPU oracle suite); TPU f32 production runs can set "default" for
+# fast bf16-accumulated MXU paths via set_precision().
+PRECISION = "highest"
+
+
+def set_precision(p: str) -> None:
+    global PRECISION
+    PRECISION = p
+
 __all__ = ["apply_r", "apply_s", "apply_t", "grad_rst", "grad_rst_t", "interp_nd", "interp_nd_t"]
 
 
 def apply_r(a, u):
     """Contract the r axis (second-to-last): out[..., i, e] = sum_j a[i,j] u[..., j, e]."""
-    return jnp.einsum("ij,...je->...ie", a, u, precision="highest")
+    return jnp.einsum("ij,...je->...ie", a, u, precision=PRECISION)
 
 
 def apply_s(a, u):
     """Contract the s axis (third-to-last)."""
-    return jnp.einsum("ij,...jre->...ire", a, u, precision="highest")
+    return jnp.einsum("ij,...jre->...ire", a, u, precision=PRECISION)
 
 
 def apply_t(a, u):
     """Contract the t axis (fourth-to-last, 3-D only)."""
-    return jnp.einsum("ij,...jsre->...isre", a, u, precision="highest")
+    return jnp.einsum("ij,...jsre->...isre", a, u, precision=PRECISION)
 
 
 _APPLY = (apply_r, apply_s, apply_t)

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _SEM_MESH_AXES = {
     "x": -1, "jac": -1, "rx": -1, "bm1": -1, "g": -1, "xd": -1, "rxd": -1,
     "bmd": -1, "bm2": -1, "binv": -1, "gidx": -1, "vmult": -1, "vmask": -1,
-    "pmask": -1, "tmask": -1, "vmask_hat": None, "tmask_hat": None,
+    "pmask": -1, "tmask": -1, "vmask_hat": None, "tmask_hat": None, "gfirst": None,
     "volume": None,
 }
 _FLOW_STATE_AXES = {
