@@ -52,7 +52,7 @@ def main():
     from neklab_tpu.models.precond import build_e_preconditioner
 
     pc_e = build_e_preconditioner(mesh, cfg.flow.dt / (11.0 / 6.0))
-    vdiag = helmholtz_diag(mesh, cfg.flow.viscosity, _BDF[3][0] / cfg.flow.dt, mesh.vmask_hat)
+    vdiag = helmholtz_diag(mesh, cfg.flow.viscosity, _BDF[3][0] / cfg.flow.dt, mesh.vmask)
 
     nsteps = 25
     dof = 2 * mesh.nel * mesh.npts

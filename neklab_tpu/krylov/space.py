@@ -167,10 +167,20 @@ class KrylovBasis:
         return w, np.asarray(h)[: self.k]
 
     def lincomb(self, coeffs: np.ndarray) -> Vector:
-        """sum_j coeffs[j] V_j (coeffs len k; may be complex)."""
-        c = np.zeros(self.kmax, dtype=np.result_type(coeffs.dtype, np.float64))
+        """sum_j coeffs[j] V_j (coeffs len k; may be complex).
+
+        Complex coefficients are handled as two REAL device lincombs over the
+        (real) basis, combined host-side into complex numpy leaves — TPU
+        backends do not implement complex matmul/tensordot, and complex
+        eigenvectors are terminal outputs (outposting/diagnostics) anyway.
+        """
         if np.iscomplexobj(coeffs):
-            c = c.astype(np.complex128)
+            vr = self.lincomb(np.ascontiguousarray(coeffs.real))
+            vi = self.lincomb(np.ascontiguousarray(coeffs.imag))
+            return jax.tree_util.tree_map(
+                lambda re, im: np.asarray(re) + 1j * np.asarray(im), vr, vi
+            )
+        c = np.zeros(self.kmax, dtype=np.result_type(coeffs.dtype, np.float64))
         c[: self.k] = coeffs
         return self.space._jit_lincomb(self.stack, jnp.asarray(c))
 

@@ -67,9 +67,9 @@ class ExponentialPropagator(LinearOperator):
         from ..models.navier_stokes import helmholtz_diag
 
         fc = self.cfg.flow
-        self.vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask_hat)
+        self.vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask)
         self.tdiags = [
-            helmholtz_diag(mesh, fc.conductivity[i], g0 / fc.dt, mesh.tmask_hat)
+            helmholtz_diag(mesh, fc.conductivity[i], g0 / fc.dt, mesh.tmask)
             for i in range(fc.nscal)
         ] or None
         self._adjoint = None

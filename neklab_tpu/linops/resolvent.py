@@ -114,9 +114,9 @@ class Resolvent(LinearOperator):
             from ..models.precond import build_e_preconditioner
 
             self.pc_e = build_e_preconditioner(mesh, self.dt / (g0 * fc.rho))
-        self.vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask_hat)
+        self.vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask)
         self.tdiags = [
-            helmholtz_diag(mesh, fc.conductivity[i], g0 / fc.dt, mesh.tmask_hat)
+            helmholtz_diag(mesh, fc.conductivity[i], g0 / fc.dt, mesh.tmask)
             for i in range(fc.nscal)
         ] or None
 

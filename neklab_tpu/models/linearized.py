@@ -148,9 +148,9 @@ def step_lin(
     h1 = fc.viscosity
     h2 = fc.rho * g0 / dt
     if vdiag is None:
-        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask_hat)
+        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask)
     zero = jnp.zeros_like(state.u)
-    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask_hat, zero, fc.vtol, fc.vmaxit, vdiag)
+    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask, zero, fc.vtol, fc.vmaxit, vdiag)
 
     dt_over_g0 = dt / (g0 * fc.rho)
     psolve = make_pressure_solver(mesh, fc, dt_over_g0, pc=pc_e)
@@ -167,10 +167,10 @@ def step_lin(
             rhs_t = (1.0 / dt) * mesh.bm1 * tbsum[i] + ntstar[i]
             k1 = fc.conductivity[i]
             k2 = g0 / dt
-            tdiag = tdiags[i] if tdiags is not None else helmholtz_diag(mesh, k1, k2, mesh.tmask_hat)
+            tdiag = tdiags[i] if tdiags is not None else helmholtz_diag(mesh, k1, k2, mesh.tmask)
             zt = jnp.zeros_like(state.theta[i])
             comps.append(
-                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask_hat, zt, fc.ttol, fc.vmaxit, tdiag)
+                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask, zt, fc.ttol, fc.vmaxit, tdiag)
             )
         theta_new = jnp.stack(comps)
     else:
@@ -209,10 +209,10 @@ def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nst
     # Jacobi diagonals: precomputed by the caller if possible — tracing the
     # npts-probe construction inside every propagate bloats compile time.
     vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
-        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask_hat
+        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask
     )
     tdiags3 = tdiags if tdiags is not None else ([
-        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask_hat)
+        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask)
         for i in range(fc.nscal)
     ] or None)
 
@@ -294,10 +294,10 @@ def propagate_forced(
     state = pert_initial(mesh, cfg, u0, theta0)
     tmax = min(fc.torder, 3)
     vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
-        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask_hat
+        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask
     )
     tdiags3 = tdiags if tdiags is not None else ([
-        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask_hat)
+        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask)
         for i in range(fc.nscal)
     ] or None)
 

@@ -124,48 +124,55 @@ _EXT = {
 # ---------------------------------------------------------------------------
 
 
-def helmholtz_diag(mesh: SemMesh, h1, h2, mask_hat) -> jnp.ndarray:
-    """Jacobi diagonal of the masked assembled Helmholtz operator, in the
-    GLOBAL unique-DOF representation [..., nglob]."""
+def helmholtz_diag(mesh: SemMesh, h1, h2, mask) -> jnp.ndarray:
+    """Jacobi diagonal of the masked assembled Helmholtz operator, as a
+    CONSISTENT local-copies field (the assembled diagonal replicated onto
+    every element copy of each shared DOF). `mask` is the local Dirichlet
+    mask (mesh.vmask / mesh.tmask)."""
     op_local = lambda u: sem.helmholtz_local(mesh, u, h1, h2)
     dloc = local_diagonal(op_local, mesh.bm1.shape, mesh.bm1.dtype, mesh.ndim)
-    d = sem.scatter_global(mesh, dloc)
-    return mask_hat * d + (1.0 - mask_hat)
+    d = sem.dssum(mesh, dloc)
+    return mask * d + (1.0 - mask)
 
 
-def helmholtz_solve(mesh, rhs_weak, h1, h2, mask_hat, bc_val, tol, maxiter, diag_hat):
+def helmholtz_solve(mesh, rhs_weak, h1, h2, mask, bc_val, tol, maxiter, diag):
     """Solve the assembled Helmholtz system (h1 A + h2 B) u = rhs with
     u = bc_val on Dirichlet DOFs.
 
     rhs_weak: unassembled local weak residual (no BC lifting), any leading
-    axes (components solved jointly — Nek's `ophinv`).
+    axes (components solved jointly — Nek's `ophinv`). `mask`/`diag` are
+    local-copies fields (mesh.vmask / helmholtz_diag output).
 
-    The CG runs on global unique-DOF vectors, where the assembled operator
-    Q^T H Q is genuinely symmetric — required for correctness of CG and of
-    custom_linear_solve's symmetric transpose rule.
+    The CG runs in the WEIGHTED LOCAL-COPIES representation: with the
+    isometry R = diag(sqrt(vmult)) Q (Q = global-to-local copy map;
+    Q^T diag(vmult) Q = I), the operator
+
+        op(y) = R A_masked R^T y + (I - R R^T) y
+              = sqw * mask * ( dssum(H_local(mask * t)) - t ) + y,
+                t = dssum(sqw * y)
+
+    is Euclidean-symmetric on the WHOLE local space (not just the consistent
+    subspace) — required by custom_linear_solve's symmetric transpose rule,
+    whose transposed solve feeds arbitrary (inconsistent) cotangent RHSs.
+    On the consistent subspace it acts as the assembled masked Helmholtz
+    operator; off it, as the identity. This avoids the per-iteration
+    unstructured local<->unique-DOF gathers of a global-representation CG —
+    the dssum is the cheap structured face exchange on box/annulus meshes.
+    Same representation trick as Nek5000's `hmholtz` CG (dssum +
+    multiplicity-weighted inner products).
     """
-    ub_hat = (1.0 - mask_hat) * _first_copy(mesh, bc_val)
+    sqw = jnp.sqrt(mesh.vmult)
+    ub = (1.0 - mask) * bc_val
 
-    def op(vhat):
-        v = sem.gather_global(mesh, vhat)
-        hv = sem.scatter_global(mesh, sem.helmholtz_local(mesh, v, h1, h2))
-        return mask_hat * hv + (1.0 - mask_hat) * vhat
+    def op(y):
+        t = sem.dssum(mesh, sqw * y)
+        hv = sem.dssum(mesh, sem.helmholtz_local(mesh, mask * t, h1, h2))
+        return sqw * (mask * (hv - t)) + y
 
-    ub_local = sem.gather_global(mesh, ub_hat)
-    b = mask_hat * sem.scatter_global(
-        mesh, rhs_weak - sem.helmholtz_local(mesh, ub_local, h1, h2)
-    )
-    precond = lambda r: r / diag_hat
-    u0_hat = linear_solve(op, b, precond=precond, tol=tol, maxiter=maxiter)
-    return sem.gather_global(mesh, ub_hat + mask_hat * u0_hat)
-
-
-def _first_copy(mesh: SemMesh, f_local: jnp.ndarray) -> jnp.ndarray:
-    """Restrict a (consistent-across-copies) local field to global DOFs."""
-    lead = f_local.shape[: f_local.ndim - mesh.gidx.ndim]
-    flat = f_local.reshape(lead + (-1,))
-    out = jnp.zeros(lead + (mesh.nglob,), f_local.dtype)
-    return out.at[..., mesh.gidx.reshape(-1)].set(flat)
+    b = mask * sqw * sem.dssum(mesh, rhs_weak - sem.helmholtz_local(mesh, ub, h1, h2))
+    precond = lambda r: r / diag
+    y = linear_solve(op, b, precond=precond, tol=tol, maxiter=maxiter)
+    return ub + mask * (y / sqw)
 
 
 def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0, pc=None):
@@ -261,8 +268,8 @@ def step(
     h1 = cfg.viscosity
     h2 = cfg.rho * g0 / dt
     if vdiag is None:
-        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask_hat)
-    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask_hat, ub, cfg.vtol, cfg.vmaxit, vdiag)
+        vdiag = helmholtz_diag(mesh, h1, h2, mesh.vmask)
+    ustar = helmholtz_solve(mesh, rhs, h1, h2, mesh.vmask, ub, cfg.vtol, cfg.vmaxit, vdiag)
 
     # ---- pressure correction ----
     # E = div (dt/g0) Binv grad^T already carries the dt/g0 factor, so the
@@ -288,10 +295,10 @@ def step(
             tdiag = (
                 tdiags[i]
                 if tdiags is not None
-                else helmholtz_diag(mesh, k1, k2, mesh.tmask_hat)
+                else helmholtz_diag(mesh, k1, k2, mesh.tmask)
             )
             comps.append(
-                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask_hat, tb[i], cfg.ttol, cfg.vmaxit, tdiag)
+                helmholtz_solve(mesh, rhs_t, k1, k2, mesh.tmask, tb[i], cfg.ttol, cfg.vmaxit, tdiag)
             )
         theta_new = jnp.stack(comps)
     else:
@@ -324,10 +331,10 @@ def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=No
     compute_rst/get_rst lag plumbing — exponential_propagator.f90:109-142 —
     which this design makes unnecessary)."""
     vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
-        mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask_hat
+        mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask
     )
     tdiags3 = tdiags if tdiags is not None else ([
-        helmholtz_diag(mesh, cfg.conductivity[i], _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.tmask_hat)
+        helmholtz_diag(mesh, cfg.conductivity[i], _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.tmask)
         for i in range(cfg.nscal)
     ] or None)
 

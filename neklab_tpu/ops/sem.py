@@ -143,10 +143,15 @@ def scatter_global(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
 def grad(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     """Pointwise physical gradient of scalar field u -> [ndim, nel, ...].
 
-    du/dx_j = sum_a rx[a, j] * du/dr_a.
+    du/dx_j = sum_a rx[a, j] * du/dr_a. The metric contraction is unrolled
+    (scalar-indexed products) rather than an einsum over a freshly stacked
+    axis: stacked-operand einsums block XLA's elementwise fusion on TPU and
+    cost ~27x in the Helmholtz chain.
     """
-    durst = jnp.stack(grad_rst(u, _d(mesh), mesh.ndim))
-    return jnp.einsum("aj...,a...->j...", mesh.rx, durst, precision=tensor_precision())
+    durst = grad_rst(u, _d(mesh), mesh.ndim)
+    return jnp.stack(
+        [sum(mesh.rx[a, j] * durst[a] for a in range(mesh.ndim)) for j in range(mesh.ndim)]
+    )
 
 
 def _d(mesh: SemMesh):
@@ -159,12 +164,18 @@ def stiffness_local(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     This is (grad v, grad u) elementwise — Nek's `axhelm` stiffness part.
     """
     d = _d(mesh)
-    du = jnp.stack(grad_rst(u, d, mesh.ndim))  # [ndim(ref), nel, ...]
-    flux = jnp.einsum("ab...,b...->a...", mesh.g, du, precision=tensor_precision())
+    du = grad_rst(u, d, mesh.ndim)  # tuple over reference axes
+    g = mesh.g
     dt = d.T
+    # Unrolled metric contraction (NOT einsum over a stacked axis — see grad).
     if mesh.ndim == 2:
-        return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
-    return apply_r(dt, flux[0]) + apply_s(dt, flux[1]) + apply_t(dt, flux[2])
+        fr = g[0, 0] * du[0] + g[0, 1] * du[1]
+        fs = g[1, 0] * du[0] + g[1, 1] * du[1]
+        return apply_r(dt, fr) + apply_s(dt, fs)
+    fr = g[0, 0] * du[0] + g[0, 1] * du[1] + g[0, 2] * du[2]
+    fs = g[1, 0] * du[0] + g[1, 1] * du[1] + g[1, 2] * du[2]
+    ft = g[2, 0] * du[0] + g[2, 1] * du[1] + g[2, 2] * du[2]
+    return apply_r(dt, fr) + apply_s(dt, fs) + apply_t(dt, ft)
 
 
 def helmholtz_local(mesh: SemMesh, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
@@ -181,9 +192,10 @@ def wgradp_t(mesh: SemMesh, v: jnp.ndarray) -> jnp.ndarray:
     """
     d = _d(mesh)
     wjac = mesh.bm1  # w * jac
-    flux = jnp.einsum("ak...,k...->a...", mesh.rx, v, precision=tensor_precision()) * wjac
+    nd = mesh.ndim
+    flux = [sum(mesh.rx[a, k] * v[k] for k in range(nd)) * wjac for a in range(nd)]
     dt = d.T
-    if mesh.ndim == 2:
+    if nd == 2:
         return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
     return apply_r(dt, flux[0]) + apply_s(dt, flux[1]) + apply_t(dt, flux[2])
 
@@ -202,9 +214,11 @@ def grad_d(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     """
     d = _d(mesh)
     jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
-    durst = grad_rst(u, d, mesh.ndim)
-    durst_d = jnp.stack([interp_nd(jd, c, mesh.ndim) for c in durst])
-    return jnp.einsum("aj...,a...->j...", mesh.rxd, durst_d, precision=tensor_precision())
+    durst_d = [interp_nd(jd, c, mesh.ndim) for c in grad_rst(u, d, mesh.ndim)]
+    nd = mesh.ndim
+    return jnp.stack(
+        [sum(mesh.rxd[a, j] * durst_d[a] for a in range(nd)) for j in range(nd)]
+    )
 
 
 def convect_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -218,10 +232,15 @@ def convect_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     /root/reference/src/linops/neklab_linops.f90:268-313.
     """
     jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
-    gu_d = grad_d(mesh, u)  # [ndim, nel, ...d]
-    c_d = jnp.stack([interp_nd(jd, ci, mesh.ndim) for ci in c])
-    s = jnp.einsum("k...,k...->...", c_d, gu_d, precision=tensor_precision()) * mesh.bmd
-    return interp_nd_t(jd, s, mesh.ndim)
+    nd = mesh.ndim
+    d = _d(mesh)
+    durst_d = [interp_nd(jd, comp, nd) for comp in grad_rst(u, d, nd)]
+    s = None
+    for k in range(nd):
+        gu_dk = sum(mesh.rxd[a, k] * durst_d[a] for a in range(nd))
+        ck_d = interp_nd(jd, c[k], nd)
+        s = ck_d * gu_dk if s is None else s + ck_d * gu_dk
+    return interp_nd_t(jd, s * mesh.bmd, nd)
 
 
 def convect_volume_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:

@@ -114,7 +114,7 @@ def otd_chunk(
     tmax = min(fc.torder, 3)
     g0 = _BDF[tmax][0]
     if vdiag is None:
-        vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask_hat)
+        vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask)
 
     def lu_all(b_u, b_th, ps):
         return jax.vmap(lambda s: apply_l(mesh, cfg, b_u, b_th, s))(ps)
