@@ -154,7 +154,7 @@ def step_lin(
 
     dt_over_g0 = dt / (g0 * fc.rho)
     psolve = make_pressure_solver(mesh, fc, dt_over_g0, pc=pc_e)
-    dp = psolve(-stokes.div_weak(mesh, ustar))
+    dp = psolve(-stokes.div_weak(mesh, ustar), x0=state.p - state.plag[0])
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
     p_new = pstar + dp

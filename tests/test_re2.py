@@ -1,0 +1,103 @@
+"""Reference `.re2` mesh import: parse + geometry + connectivity oracles.
+
+Uses the actual mesh files shipped with the reference examples as fixtures
+(/root/reference/examples/*; read-only data, SURVEY section 2.2 mesh-tooling
+row). Skipped when the reference tree is not present.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REF = "/root/reference/examples"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+
+CYL = f"{REF}/cylinder/stability/direct/1cyl.re2"
+TSY = f"{REF}/thermosyphon/baseflow/tsyphon.re2"
+BFS = f"{REF}/back_fstep/transient_growth/bfs.re2"
+
+
+def test_read_re2_headers():
+    from neklab_tpu.mesh.re2 import read_re2
+
+    d = read_re2(CYL)
+    assert d.ndim == 2 and d.nel == 1996
+    codes = {c for _, _, _, c in d.bcs[0]}
+    assert codes == {"P", "v", "O", "W"}
+    assert all(c == "C" for _, _, _, c in d.curves)  # cylinder-surface arcs
+
+    d2 = read_re2(TSY)
+    assert d2.nel == 256 and len(d2.bcs) == 2  # velocity + temperature blocks
+    assert {c for _, _, _, c in d2.curves} == {"C"}
+
+
+def test_cylinder_mesh_geometry():
+    """Curved-arc Gordon-Hall coordinates: positive Jacobians and the domain
+    volume equals box minus cylinder to the arc-resolution accuracy."""
+    from neklab_tpu.mesh.re2 import mesh_from_re2, read_re2
+
+    mesh = mesh_from_re2(CYL, order=4)
+    jac = np.asarray(mesh.jac)
+    assert (jac > 0).all()
+    d = read_re2(CYL)
+    box = (d.xc.max() - d.xc.min()) * (d.yc.max() - d.yc.min())
+    vol_exact = box - np.pi * 0.5**2  # unit-diameter cylinder removed
+    assert abs(float(mesh.volume) - vol_exact) / vol_exact < 1e-4
+
+    # outflow pins pressure somewhere; walls/inflow constrain velocity
+    assert not mesh.p_fixed
+    assert (np.asarray(mesh.vmask) == 0).any()
+
+    # C0: averaging a globally smooth field is (near-)identity — curved
+    # shared edges agree to the connectivity tolerance
+    from neklab_tpu.ops import sem
+
+    f = jnp.sin(mesh.x[0]) * jnp.cos(mesh.x[1])
+    assert float(jnp.max(jnp.abs(sem.dsavg(mesh, f) - f))) < 1e-5
+
+
+def test_thermosyphon_mesh_closed_annulus():
+    from neklab_tpu.mesh.re2 import mesh_from_re2
+    from neklab_tpu.ops import sem
+
+    mesh = mesh_from_re2(TSY, order=4)
+    jac = np.asarray(mesh.jac)
+    assert (jac > 0).all()
+    assert mesh.p_fixed  # enclosed flow: pure-Neumann pressure
+    f = jnp.sin(mesh.x[0]) * jnp.cos(mesh.x[1])
+    assert float(jnp.max(jnp.abs(sem.dsavg(mesh, f) - f))) < 1e-12
+
+
+def test_bfs_mesh_gmsh_import():
+    """gmsh2nek-produced mesh: 'm' midpoint curves, MSH placeholder BCs
+    (the reference assigns real BCs in usrdat2) -> all-interior masks."""
+    from neklab_tpu.mesh.re2 import mesh_from_re2
+
+    mesh = mesh_from_re2(BFS, order=3)
+    assert (np.asarray(mesh.jac) > 0).all()
+    assert (np.asarray(mesh.vmask) == 1).all()  # MSH = unassigned
+
+
+def test_bfs_bc_fn_usrdat2_analog():
+    """Assign BCs on the gmsh-imported BFS mesh via the bc_fn hook: inflow at
+    x=-20, outflow at x=100, walls elsewhere (the reference's usrdat2 role)."""
+    from neklab_tpu.mesh.re2 import mesh_from_re2
+
+    def bc_fn(c):
+        if abs(c[0] - (-20.0)) < 1e-6:
+            return "v"
+        if abs(c[0] - 100.0) < 1e-6:
+            return "O"
+        return "W"
+
+    mesh = mesh_from_re2(BFS, order=3, bc_fn=bc_fn)
+    vm = np.asarray(mesh.vmask)
+    pm = np.asarray(mesh.pmask)
+    assert (vm == 0).any() and (pm == 0).any()
+    assert not mesh.p_fixed  # outflow present
+    # inflow nodes (x = -20) must be velocity-constrained
+    xx = np.asarray(mesh.x[0])
+    at_in = np.abs(xx - (-20.0)) < 1e-9
+    assert (vm[0][at_in] == 0).all()

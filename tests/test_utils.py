@@ -110,3 +110,58 @@ def test_native_vs_python_coloring():
         np.stack([np.asarray(mesh.x[d]).reshape(-1, mesh.nel).mean(0) for d in range(2)], 1), 4
     )
     assert np.bincount(part).tolist() == [6, 6, 6, 6]
+
+
+# ---------------------------------------------------------------------------
+# Nek binary .fld field files
+# ---------------------------------------------------------------------------
+
+
+def test_fld_roundtrip(tmp_path):
+    """write_fld -> read_fld preserves fields (f4 storage), layout, and map."""
+    import jax
+    import jax.numpy as jnp
+
+    from neklab_tpu.mesh.box import box_mesh
+    from neklab_tpu.utils.fldfile import read_fld, write_fld
+
+    mesh = box_mesh(
+        (3, 2), ((0.0, 3.0), (0.0, 2.0)),
+        {"x-": "W", "x+": "W", "y-": "W", "y+": "W"}, order=4,
+    )
+    key = jax.random.PRNGKey(0)
+    u = jax.random.normal(key, (2,) + mesh.bm1.shape)
+    p = jax.random.normal(jax.random.PRNGKey(1), mesh.bm2.shape)
+    t = jax.random.normal(jax.random.PRNGKey(2), mesh.bm1.shape)
+    path = str(tmp_path / "chk0.f00001")
+    write_fld(path, mesh=mesh, u=u, p=p, t=t, time=1.5, wdsize=4)
+
+    f = read_fld(path)
+    assert f.ndim == 2 and f.lx == 5 and f.nelt == mesh.nel
+    assert abs(f.time - 1.5) < 1e-12
+    assert np.allclose(f.x, np.asarray(mesh.x), atol=1e-6)
+    assert np.allclose(f.u, np.asarray(u), atol=1e-6)
+    assert np.allclose(f.t, np.asarray(t), atol=1e-6)
+    # pressure was mapped (n-2)-grid -> GLL on write: compare against j21 map
+    from neklab_tpu.ops.tensor import interp_nd
+
+    j21 = jnp.asarray(mesh.basis.j21, dtype=mesh.bm1.dtype)
+    p_gll = np.asarray(interp_nd(j21, p, 2))
+    assert np.allclose(f.p, p_gll, atol=1e-5)
+    assert list(f.emap) == list(range(1, mesh.nel + 1))
+
+
+def test_fld_f64_and_scalars(tmp_path):
+    from neklab_tpu.mesh.box import box_mesh
+    from neklab_tpu.utils.fldfile import read_fld, write_fld
+
+    mesh = box_mesh(
+        (2, 2), ((0.0, 1.0), (0.0, 1.0)),
+        {"x-": "W", "x+": "W", "y-": "W", "y+": "W"}, order=3,
+    )
+    s = np.stack([np.asarray(mesh.x[0]) ** k for k in (1, 2)])
+    path = str(tmp_path / "sca0.f00001")
+    write_fld(path, mesh=mesh, u=np.asarray(mesh.x), s=s, wdsize=8)
+    f = read_fld(path)
+    assert f.s.shape == s.shape
+    assert np.allclose(f.s, s, atol=1e-14)  # f8 roundtrip is exact-ish
