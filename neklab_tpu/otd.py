@@ -147,6 +147,43 @@ def otd_chunk(
     return base, perts, lr
 
 
+def load_otd_ics(
+    mesh: SemMesh,
+    cfg: LinConfig,
+    paths: list[str],
+    r: int | None = None,
+    seed: int = 7,
+) -> PertState:
+    """User-supplied OTD initial conditions from field files — the
+    reference's `OTDIC_xx.fld` convention (neklab_otd.f90:118-204,
+    n_usrIC > 0 branch): the first len(paths) modes come from the files
+    (binary Nek .fld or this framework's .npz), any remaining of the r modes
+    are randomized, and the whole basis is orthonormalized."""
+    r = r if r is not None else len(paths)
+    if len(paths) > r:
+        raise ValueError(f"more IC files ({len(paths)}) than modes ({r})")
+    us = []
+    for p in paths:
+        if p.endswith(".npz"):
+            with np.load(p) as z:
+                u = np.asarray(z["u"])
+        else:
+            from .utils.fldfile import read_fld
+
+            u = read_fld(p).u
+        if u is None or u.shape != (mesh.ndim,) + mesh.bm1.shape:
+            raise ValueError(f"IC file {p}: expected velocity shaped "
+                             f"{(mesh.ndim,) + mesh.bm1.shape}, got {None if u is None else u.shape}")
+        us.append(jnp.asarray(u, mesh.bm1.dtype))
+    if len(us) < r:
+        key = jax.random.PRNGKey(seed)
+        rnd = jax.random.normal(key, (r - len(us), mesh.ndim) + mesh.bm1.shape, mesh.bm1.dtype)
+        us.extend(list(rnd))
+    u = jnp.stack([mesh.vmask * sem.dsavg(mesh, ui) for ui in us])
+    perts = jax.vmap(lambda ui: pert_initial(mesh, cfg, ui))(u)
+    return orthonormalize_states(mesh, perts)
+
+
 @dataclasses.dataclass
 class OtdResult:
     base: FlowState
@@ -168,11 +205,15 @@ def otd_analysis(
     pc_e=None,
     outdir: str | None = None,
     seed: int = 7,
+    ic_paths: list[str] | None = None,
 ) -> OtdResult:
     """The reference's otd_analysis driver loop (neklab_analysis.f90:214-344):
-    random (or given) orthonormal ICs, chunked evolution, Ls/Lr spectra
-    logging."""
+    random (or file-loaded, or given) orthonormal ICs, chunked evolution,
+    Ls/Lr spectra logging. ic_paths: OTDIC-style field files (see
+    load_otd_ics)."""
     fc = cfg.flow
+    if init_perts is None and ic_paths:
+        init_perts = load_otd_ics(mesh, cfg, ic_paths, r=opts.r, seed=seed)
     if init_perts is None:
         key = jax.random.PRNGKey(seed)
         u = jax.random.normal(key, (opts.r, mesh.ndim) + mesh.bm1.shape, mesh.bm1.dtype)

@@ -52,3 +52,38 @@ def test_otd_converges_to_leading_modes():
     assert abs(lam[1] - exact[1]) < 5e-3, (lam, exact)
     # reduced operators were logged every chunk
     assert len(res.lr_history) == 26
+
+
+def test_otd_file_ics(tmp_path):
+    """OTDIC-style file initial conditions: .fld and .npz inputs populate the
+    first modes; the rest are randomized; the basis comes back orthonormal."""
+    import jax
+    import jax.numpy as jnp
+
+    from neklab_tpu.mesh.box import box_mesh
+    from neklab_tpu.models.linearized import LinConfig
+    from neklab_tpu.models.navier_stokes import FlowConfig
+    from neklab_tpu.otd import _mass_dots, load_otd_ics
+    from neklab_tpu.utils.fldfile import write_fld
+
+    mesh = box_mesh(
+        (4, 4), ((0.0, 2 * np.pi), (-1.0, 1.0)),
+        {"x-": "P", "x+": "P", "y-": "W", "y+": "W"}, order=4,
+    )
+    cfg = LinConfig(flow=FlowConfig(viscosity=1e-2, dt=1e-2))
+    y = mesh.x[1]
+    u1 = mesh.vmask * jnp.stack([jnp.sin(mesh.x[0]) * (1 - y**2), 0 * y])
+    f1 = str(tmp_path / "OTDIC_01.f00001")
+    write_fld(f1, mesh=mesh, u=u1, wdsize=8)
+    f2 = str(tmp_path / "OTDIC_02.npz")
+    u2 = mesh.vmask * jnp.stack([0 * y, jnp.cos(mesh.x[0]) * (1 - y**2)])
+    np.savez(f2, u=np.asarray(u2))
+
+    perts = load_otd_ics(mesh, cfg, [f1, f2], r=3)
+    g = np.asarray(_mass_dots(mesh, perts.u, perts.u))
+    assert np.allclose(g, np.eye(3), atol=1e-10)
+    # first mode spans the file IC (same direction after normalization)
+    v = np.asarray(perts.u[0]).ravel()
+    w = np.asarray(u1).ravel()
+    cos = abs(v @ w) / (np.linalg.norm(v) * np.linalg.norm(w) + 1e-30)
+    assert cos > 0.99
