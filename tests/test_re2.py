@@ -101,3 +101,23 @@ def test_bfs_bc_fn_usrdat2_analog():
     xx = np.asarray(mesh.x[0])
     at_in = np.abs(xx - (-20.0)) < 1e-9
     assert (vm[0][at_in] == 0).all()
+
+
+def test_box_file_reader():
+    """genbox .box inputs: rectilinear rayBen (graded-capable, P/W + t BCs)
+    and cylindrical tsyphon (polar map, exact annulus volume)."""
+    from neklab_tpu.mesh.boxfile import mesh_from_box
+    from neklab_tpu.ops import sem
+
+    m = mesh_from_box(f"{REF}/rayBen/baseflow/rayBen.box", order=5)
+    assert m.nel == 40  # 10 x 4
+    assert abs(float(m.volume) - 2.0158) < 1e-12
+    assert (np.asarray(m.tmask) == 0).any()  # t walls top/bottom
+    f = jnp.sin(2 * np.pi * m.x[0] / 2.0158) * jnp.cos(m.x[1])
+    assert float(jnp.max(jnp.abs(sem.dsavg(m, f) - f))) < 1e-13  # x-periodic
+
+    m2 = mesh_from_box(f"{REF}/thermosyphon/baseflow/tsyphon.box", order=4)
+    assert m2.nel == 256  # 8 x 32
+    assert abs(float(m2.volume) - np.pi * 3.0) < 1e-10  # annulus r in [1, 2]
+    assert m2.p_fixed  # enclosed
+    assert (np.asarray(m2.jac) > 0).all()
