@@ -80,3 +80,29 @@ def shard_flow_state(state, dmesh: Mesh):
 
 def shard_field(f, dmesh: Mesh, elem_axis: int):
     return jax.device_put(f, NamedSharding(dmesh, _spec(f.ndim, elem_axis)))
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> Mesh:
+    """Multi-host SPMD entry point (SURVEY section 7 stage 7).
+
+    Calls jax.distributed.initialize (env-driven on TPU pods when no
+    arguments are given — the launcher sets everything), then builds the
+    global 'e' mesh over ALL devices: the same single-axis element partition,
+    with XLA routing face-exchange/psum collectives over ICI within a host
+    and DCN across hosts. This is the analog of the reference's
+    `mpiexec -np N nek5000` scale-out — the compiled program is identical
+    to the single-host one.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return make_device_mesh()
