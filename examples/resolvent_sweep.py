@@ -37,7 +37,7 @@ def main():
     import numpy as np
     import jax.numpy as jnp
 
-    from neklab_tpu.linops.resolvent import Resolvent, complex_pair_space
+    from neklab_tpu.linops.resolvent import Resolvent
     from neklab_tpu.mesh.box import box_mesh
     from neklab_tpu.models.linearized import LinConfig
     from neklab_tpu.models.navier_stokes import FlowConfig

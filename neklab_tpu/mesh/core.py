@@ -21,7 +21,7 @@ from ..ops.geometry import GeomFactors
 from ..utils.pytrees import pytree_dataclass
 
 
-@pytree_dataclass(meta_fields=("basis", "ndim", "nel", "nglob", "bc"))
+@pytree_dataclass(meta_fields=("basis", "ndim", "nel", "nglob", "bc", "fp_nvert"))
 class SemMesh:
     basis: Basis
     ndim: int
@@ -50,6 +50,16 @@ class SemMesh:
     vmask_hat: jnp.ndarray  # [ndim, nglob] global-DOF velocity masks
     tmask_hat: jnp.ndarray  # [nglob] global-DOF scalar mask
     volume: jnp.ndarray  # scalar: total mesh volume
+    # face-pair exchange schedule for UNSTRUCTURED conforming 2-D meshes
+    # (None on structured/3-D meshes): partner face-column gather indices,
+    # orientation flips, interior mask, and compact vertex ids — see
+    # ops.sem._dssum_facepair. Gathering only the face strips is ~5x cheaper
+    # on TPU than the general global scatter-add (gathers cost ~1 elem/cycle).
+    fp_pidx: jnp.ndarray | None = None  # int32 [4*nel] partner flat face index
+    fp_flip: jnp.ndarray | None = None  # bool [4*nel] partner runs reversed
+    fp_mask: jnp.ndarray | None = None  # [4*nel] 1.0 interior face, 0.0 boundary
+    fp_vsib: jnp.ndarray | None = None  # int32 [maxmult-1, 4*nel] vertex sibling copies (pad 4*nel)
+    fp_nvert: int = 0  # static: number of unique vertices
 
     @property
     def npts(self) -> int:
@@ -121,6 +131,11 @@ def build_mesh(
     # first-copy position of every global DOF in the ELEMENT-LAST flattening
     gidx_el_last = np.moveaxis(gidx, 0, -1).reshape(-1)
     _, first_pos = np.unique(gidx_el_last, return_index=True)
+
+    structured = any(k == "__struct__" for k, _ in bc)
+    fp = None
+    if ndim == 2 and not structured:
+        fp = _facepair_schedule(gidx)
     return SemMesh(
         basis=basis,
         ndim=ndim,
@@ -146,4 +161,70 @@ def build_mesh(
         vmask_hat=cast(vmask_hat),
         tmask_hat=cast(tmask_hat),
         volume=cast((geom.bm1).sum()),
+        fp_pidx=jnp.asarray(fp[0]) if fp else None,
+        fp_flip=jnp.asarray(fp[1]) if fp else None,
+        fp_mask=cast(fp[2]) if fp else None,
+        fp_vsib=jnp.asarray(fp[3]) if fp else None,
+        fp_nvert=fp[4] if fp else 0,
     )
+
+
+def _facepair_schedule(gidx: np.ndarray):
+    """Face-pairing exchange schedule for a conforming 2-D mesh.
+
+    gidx: [nel, n(s), n(r)] global ids (element-first builder layout). Faces
+    are stacked in the fixed order (s-, s+, r-, r+) and flattened as
+    flat = face * nel + e, matching the element-LAST [n, 4, nel] stacking in
+    ops.sem._dssum_facepair. Returns None if any face is shared by more than
+    two elements (non-conforming: fall back to the scatter path).
+    """
+    nel, n, _ = gidx.shape
+    seqs = np.empty((4, nel, n), dtype=np.int64)
+    seqs[0] = gidx[:, 0, :]  # s- (r varies)
+    seqs[1] = gidx[:, -1, :]  # s+
+    seqs[2] = gidx[:, :, 0]  # r- (s varies)
+    seqs[3] = gidx[:, :, -1]  # r+
+
+    owners: dict = {}
+    for f in range(4):
+        for e in range(nel):
+            key = tuple(sorted(seqs[f, e]))
+            owners.setdefault(key, []).append((f, e))
+
+    pidx = np.arange(4 * nel, dtype=np.int32)  # default: self (boundary)
+    flip = np.zeros(4 * nel, dtype=bool)
+    mask = np.zeros(4 * nel, dtype=np.float64)
+    for key, faces in owners.items():
+        if len(faces) == 1:
+            continue
+        if len(faces) > 2:
+            return None  # non-conforming
+        (fa, ea), (fb, eb) = faces
+        ia, ib = fa * nel + ea, fb * nel + eb
+        pidx[ia], pidx[ib] = ib, ia
+        mask[ia] = mask[ib] = 1.0
+        same = bool(np.all(seqs[fa, ea] == seqs[fb, eb]))
+        rev = bool(np.all(seqs[fa, ea] == seqs[fb, eb][::-1]))
+        if not (same or rev):
+            return None  # conforming faces must match directly or reversed
+        flip[ia] = flip[ib] = rev
+
+    # vertices: sibling-copy gather schedule. Corner c of element e sits at
+    # flat position c * nel + e (order s-r-, s-r+, s+r-, s+r+); each copy
+    # lists the flat positions of its OTHER copies, padded with index 4*nel
+    # (a zero slot appended at apply time) — all-gather arithmetic, no
+    # scatter.
+    corners = np.stack(
+        [gidx[:, 0, 0], gidx[:, 0, -1], gidx[:, -1, 0], gidx[:, -1, -1]]
+    ).reshape(-1)
+    uniq, vgid = np.unique(corners, return_inverse=True)
+    copies: list[list[int]] = [[] for _ in range(len(uniq))]
+    for pos, v in enumerate(vgid):
+        copies[v].append(pos)
+    maxmult = max(len(c) for c in copies)
+    vsib = np.full((maxmult - 1, 4 * nel), 4 * nel, dtype=np.int32)  # pad slot
+    for c in copies:
+        for j, pos in enumerate(c):
+            others = [p for p in c if p != pos]
+            vsib[: len(others), pos] = others
+    return pidx, flip, mask, vsib, int(len(uniq))

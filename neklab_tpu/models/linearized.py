@@ -91,24 +91,23 @@ def pert_initial(mesh: SemMesh, cfg: LinConfig, u, theta=None) -> PertState:
     )
 
 
-def _lin_terms(mesh, cfg: LinConfig, u, theta, base_u, base_theta, force, source):
-    """Weak linearized explicit terms about (base_u, base_theta)."""
-    n_u = -(
-        sem.convect_volume_weak(mesh, u, base_u)  # (U . grad) u'
-        + sem.convect_volume_weak(mesh, base_u, u)  # (u' . grad) U
-    )
+def _lin_terms(mesh, cfg: LinConfig, u, theta, base_u, base_theta, force, source,
+               conv_cache=None):
+    """Weak linearized explicit terms about (base_u, base_theta).
+
+    conv_cache: precomputed frozen-base dealias quantities
+    (sem.lin_convect_cache) — supplied by the propagators so the base-flow
+    interpolations are not redone every step."""
+    if conv_cache is None:
+        conv_cache = sem.lin_convect_cache(mesh, base_u, base_theta)
+    cu, ct = sem.convect_lin_weak(mesh, u, theta if cfg.nscal else None, conv_cache)
+    n_u = -cu
     if cfg.lin_forcing_fn is not None:
         n_u = n_u + mesh.bm1 * cfg.lin_forcing_fn(mesh, u, theta)
     if force is not None:
         n_u = n_u + mesh.bm1 * force
     if cfg.nscal:
-        n_t = -jnp.stack(
-            [
-                sem.convect_weak(mesh, theta[i], base_u)
-                + sem.convect_weak(mesh, base_theta[i], u)
-                for i in range(cfg.nscal)
-            ]
-        )
+        n_t = -ct
         if cfg.lin_source_fn is not None:
             n_t = n_t + mesh.bm1 * cfg.lin_source_fn(mesh, u, theta)
         if source is not None:
@@ -131,6 +130,7 @@ def step_lin(
     tdiags=None,
     pc_e=None,
     dt=None,
+    conv_cache=None,
 ) -> PertState:
     """One linearized BDF(order)/EXT(order) step (homogeneous BCs)."""
     fc = cfg.flow
@@ -138,7 +138,8 @@ def step_lin(
     g0, betas = _BDF[order]
     alphas = _EXT[order]
 
-    n_u, n_t = _lin_terms(mesh, cfg, state.u, state.theta, base_u, base_theta, force, source)
+    n_u, n_t = _lin_terms(mesh, cfg, state.u, state.theta, base_u, base_theta, force, source,
+                          conv_cache=conv_cache)
 
     pstar = state.p  # incremental (non-extrapolated) pressure: robust default
     nstar = alphas[0] * n_u + alphas[1] * state.nlag[0] + alphas[2] * state.nlag[1]
@@ -216,17 +217,21 @@ def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nst
         for i in range(fc.nscal)
     ] or None)
 
+    # frozen-base dealias quantities: computed ONCE, reused by every step
+    ccache = sem.lin_convect_cache(mesh, base_u, base_theta if fc.nscal else None)
+
     n_ramp = min(fc.torder - 1, nsteps)
     for k in range(n_ramp):
         state = step_lin(mesh, cfg, state, base_u, base_theta, order=k + 1, pc_e=pc_e,
-                         vdiag=vdiag3, tdiags=tdiags3)
+                         vdiag=vdiag3, tdiags=tdiags3, conv_cache=ccache)
 
     remaining = nsteps - n_ramp
     if remaining > 0:
 
         def body(s, _):
             s = step_lin(
-                mesh, cfg, s, base_u, base_theta, order=tmax, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e
+                mesh, cfg, s, base_u, base_theta, order=tmax, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
+                conv_cache=ccache,
             )
             return s, None
 
@@ -313,11 +318,13 @@ def propagate_forced(
         ph = omega * t
         return jnp.cos(ph) * s_re - sign * jnp.sin(ph) * s_im
 
+    ccache = sem.lin_convect_cache(mesh, base_u, base_theta if fc.nscal else None)
+
     n_ramp = min(fc.torder - 1, nsteps)
     for k in range(n_ramp):
         state = step_lin(
             mesh, cfg, state, base_u, base_theta, order=k + 1, force=force_at(k),
-            source=source_at(k), pc_e=pc_e, vdiag=vdiag3, tdiags=tdiags3,
+            source=source_at(k), pc_e=pc_e, vdiag=vdiag3, tdiags=tdiags3, conv_cache=ccache,
         )
 
     remaining = nsteps - n_ramp
@@ -351,6 +358,7 @@ def propagate_forced(
             st = step_lin(
                 mesh, cfg, st, base_u, base_theta, order=tmax, force=zr,
                 source=source, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
+                conv_cache=ccache,
             )
             zr, zi = rot_step(zr, zi)
             wr, wi = rot_step(wr, wi)

@@ -67,11 +67,76 @@ def dssum(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
     info = _struct_info(mesh)
     if info is not None and mesh.ndim == 2:
         return _dssum_structured_2d(f, mesh.basis.n, *info)
+    if mesh.fp_pidx is not None and mesh.ndim == 2:
+        return _dssum_facepair(mesh, f)
     lead = f.shape[: f.ndim - mesh.gidx.ndim]
     flat = f.reshape(lead + (-1,))
     gsum = jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
     out = gsum[..., mesh.gidx.reshape(-1)]
     return out.reshape(f.shape)
+
+
+def _dssum_facepair(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
+    """Direct-stiffness sum on an UNSTRUCTURED conforming 2-D mesh via the
+    precomputed face-pair schedule (mesh/core.py:_facepair_schedule).
+
+    Interior-edge DOFs have exactly two copies: add the partner face value —
+    ONE element-axis gather over the stacked [n, 4*nel] face strips; the
+    orientation flip is applied AFTER the gather (reversing the gathered run
+    along my own n axis lands on the partner's n-1-i value). Vertex DOFs
+    (arbitrary multiplicity) are summed by sibling-copy gathers over the
+    [4*nel] corner vector (zero-padded), so the whole exchange is
+    gather/slice arithmetic with no scatters. Gathers touch only the face
+    strips, which on TPU (~1 gathered element/cycle) is far cheaper than the
+    global scatter-add fallback below.
+    """
+    import numpy as np  # static constants only
+
+    n = mesh.basis.n
+    nel = mesh.nel
+    lead = f.shape[:-3]
+    G = jnp.stack(
+        [f[..., 0, :, :], f[..., n - 1, :, :], f[..., :, 0, :], f[..., :, n - 1, :]],
+        axis=-2,
+    )  # [lead, n, 4, nel]
+    Gf = G.reshape(lead + (n, 4 * nel))
+    P = Gf[..., mesh.fp_pidx]
+    em = np.ones(n)
+    em[0] = em[-1] = 0.0  # endpoints are vertex DOFs: handled below
+    C = jnp.where(mesh.fp_flip, jnp.flip(P, axis=-2), P)
+    C = C * (mesh.fp_mask * jnp.asarray(em, f.dtype)[:, None])
+    C = C.reshape(lead + (n, 4, nel))
+
+    V = jnp.stack(
+        [f[..., 0, 0, :], f[..., 0, n - 1, :], f[..., n - 1, 0, :], f[..., n - 1, n - 1, :]],
+        axis=-2,
+    ).reshape(lead + (4 * nel,))
+    Vext = jnp.concatenate([V, jnp.zeros(lead + (1,), f.dtype)], axis=-1)
+    Vn = V
+    for j in range(mesh.fp_vsib.shape[0]):
+        Vn = Vn + Vext[..., mesh.fp_vsib[j]]
+    Vn = Vn.reshape(lead + (4, nel))
+
+    # assemble by concatenation (3 big copies) instead of slice updates
+    # (8 dynamic-update-slice kernels): corrected boundary rows carry the
+    # edge additions at interior positions and the vertex sums at endpoints.
+    mid_s0 = f[..., 0, 1 : n - 1, :] + C[..., 1 : n - 1, 0, :]
+    mid_s1 = f[..., n - 1, 1 : n - 1, :] + C[..., 1 : n - 1, 1, :]
+    row_s0 = jnp.concatenate(
+        [Vn[..., 0, :][..., None, :], mid_s0, Vn[..., 1, :][..., None, :]], axis=-2
+    )
+    row_s1 = jnp.concatenate(
+        [Vn[..., 2, :][..., None, :], mid_s1, Vn[..., 3, :][..., None, :]], axis=-2
+    )
+    col_r0 = f[..., 1 : n - 1, 0, :] + C[..., 1 : n - 1, 2, :]
+    col_r1 = f[..., 1 : n - 1, n - 1, :] + C[..., 1 : n - 1, 3, :]
+    mid = jnp.concatenate(
+        [col_r0[..., :, None, :], f[..., 1 : n - 1, 1 : n - 1, :], col_r1[..., :, None, :]],
+        axis=-2,
+    )
+    return jnp.concatenate(
+        [row_s0[..., None, :, :], mid, row_s1[..., None, :, :]], axis=-3
+    )
 
 
 def _dssum_structured_2d(f, n, els, periodic):
@@ -246,6 +311,64 @@ def convect_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def convect_volume_weak(mesh: SemMesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Vectorized `convect_weak` over the leading component axis of u."""
     return jnp.stack([convect_weak(mesh, ui, c) for ui in u])
+
+
+def lin_convect_cache(mesh: SemMesh, base_u: jnp.ndarray, base_theta=None):
+    """Precompute the FROZEN base-flow quantities of the linearized
+    advection on the dealias grid: U_d[k] = I_d U_k, gradU_d[i, k] =
+    (grad_d U_i)_k, and (if scalars ride along) gradTh_d[s, k].
+
+    These are loop-invariant across the propagator's time steps (the base
+    flow is frozen), so computing them once per propagate instead of twice
+    per step removes ~half the convection work of the hot path.
+    """
+    jd = jnp.asarray(mesh.basis.jd, dtype=base_u.dtype)
+    nd = mesh.ndim
+    u_d = jnp.stack([interp_nd(jd, base_u[k], nd) for k in range(nd)])
+    gradu_d = jnp.stack([grad_d(mesh, base_u[i]) for i in range(nd)])
+    if base_theta is not None and base_theta.shape[0]:
+        gradth_d = jnp.stack([grad_d(mesh, base_theta[s]) for s in range(base_theta.shape[0])])
+    else:
+        gradth_d = None
+    return {"ud": u_d, "gradud": gradu_d, "gradthd": gradth_d}
+
+
+def convect_lin_weak(mesh: SemMesh, u: jnp.ndarray, theta, cache):
+    """Fused weak-form linearized advection about a frozen base (U, Theta):
+
+        n_u[i] = (phi_i, U . grad u_i) + (phi_i, u . grad U_i)
+        n_t[s] = (q,     U . grad th_s) + (q,     u . grad Th_s)
+
+    with the base-flow dealias quantities from `lin_convect_cache`. Linear
+    in (u, theta); exactly transposable. Equivalent to the pairwise
+    convect_weak sums but with one combined quadrature +
+    back-interpolation pass per output and no per-step base interpolation
+    (reference kernels: /root/reference/src/linops/neklab_linops.f90:268-313).
+    Returns (n_u, n_t); n_t is None when no scalars are present.
+    """
+    ud_base, gradud_base, gradthd_base = cache["ud"], cache["gradud"], cache["gradthd"]
+    jd = jnp.asarray(mesh.basis.jd, dtype=u.dtype)
+    d = _d(mesh)
+    nd = mesh.ndim
+    u_d = [interp_nd(jd, u[k], nd) for k in range(nd)]
+
+    def fused(field, grad_base_row):
+        """(phi, U . grad field) + (phi, u . grad<base row>), one pass."""
+        durst_d = [interp_nd(jd, c, nd) for c in grad_rst(field, d, nd)]
+        s = None
+        for k in range(nd):
+            g_k = sum(mesh.rxd[a, k] * durst_d[a] for a in range(nd))
+            term = ud_base[k] * g_k + u_d[k] * grad_base_row[k]
+            s = term if s is None else s + term
+        return interp_nd_t(jd, s * mesh.bmd, nd)
+
+    n_u = jnp.stack([fused(u[i], gradud_base[i]) for i in range(nd)])
+    n_t = None
+    if theta is not None and theta.shape[0]:
+        n_t = jnp.stack(
+            [fused(theta[s], gradthd_base[s]) for s in range(theta.shape[0])]
+        )
+    return n_u, n_t
 
 
 # ---------------------------------------------------------------------------
