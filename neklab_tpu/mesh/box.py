@@ -148,9 +148,15 @@ def box_mesh(
     geom = compute_geom(x, basis)
     bc_meta = tuple(sorted(bc.items())) + tuple(sorted(("T:" + k, v) for k, v in bc_temp.items()))
     bc_meta = bc_meta + (("__box__", "x".join(str(v) for v in nels)),)
-    if ndim == 2:
-        # structured-dssum metadata: (nel_s, nel_r, per_s, per_r)
-        bc_meta = bc_meta + (
-            ("__struct__", f"{nels[1]},{nels[0]},{int(periodic[1])},{int(periodic[0])}"),
-        )
+    # structured-dssum metadata: element-grid shape leading-dim first
+    # (matching the C-ordered flat element axis) + per-direction periodicity
+    rev = list(range(ndim))[::-1]
+    bc_meta = bc_meta + (
+        (
+            "__struct__",
+            ",".join(str(nels[d]) for d in rev)
+            + ","
+            + ",".join(str(int(periodic[d])) for d in rev),
+        ),
+    )
     return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype)

@@ -109,28 +109,59 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
     ncol2 = int(colors2.max()) + 1
 
     # ---- local blocks by colored probing ----
-    # probe (color c, pattern j): e_q = 1 at pattern j of every color-c element
-    blocks = np.zeros((nel, np2, np2))
+    # probe (color c, pattern j): e_q = 1 at pattern j of every color-c
+    # element. Patterns are probed in vmapped BATCHES — one device call per
+    # (color, chunk) instead of per (color, pattern) — and the blocks are
+    # assembled AND inverted on device: no O(nel * np2^2) host transfers,
+    # which dominate the 3-D setup on remote-device links.
     color_mask = jnp.asarray((colors2[:, None] == np.arange(ncol2)[None, :]).astype(np.float64)).astype(dtype)  # [nel, ncol]
 
-    def probe(c, j):
-        pat = jnp.zeros((np2,), dtype).at[j].set(1.0)
-        q = pat[:, None] * (color_mask[:, c])[None, :]  # [np2, nel]
-        return eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel)
+    # chunk so the probe batch stays under ~128 MB
+    chunk = max(1, min(np2, int(128e6 / (np2 * nel * 4))))
 
+    @jax.jit
+    def probe_chunk_dev(blocks_dev, pats, cmask, j0):
+        q = pats[:, :, None] * cmask[None, None, :]  # [chunk, np2, nel]
+        out = jax.vmap(eop)(q.reshape((pats.shape[0],) + mesh.bm2.shape))
+        cols = out.reshape(pats.shape[0], np2, nel)  # [m(j), np2(i), nel]
+        # accumulate columns j0..j0+chunk of every color-c element's block;
+        # other elements' columns receive their aliased values but are
+        # overwritten when their own color is probed (mask makes them exact:
+        # multiply by cmask so off-color elements contribute zero)
+        upd = jnp.moveaxis(cols * cmask[None, None, :], -1, 0)  # [nel, np2, m]
+        return jax.lax.dynamic_update_slice(
+            blocks_dev, blocks_dev_slice_add(blocks_dev, upd, j0), (0, 0, j0)
+        )
+
+    def blocks_dev_slice_add(blocks_dev, upd, j0):
+        cur = jax.lax.dynamic_slice(blocks_dev, (0, 0, j0), upd.shape)
+        return cur + upd
+
+    # pad the column axis to a chunk multiple so dynamic_update_slice never
+    # clamps (clamping would misalign the final chunk)
+    np2_pad = ((np2 + chunk - 1) // chunk) * chunk
+    blocks_dev = jnp.zeros((nel, np2, np2_pad), dtype)
     for c in range(ncol2):
-        sel = colors2 == c
-        for j in range(np2):
-            col = np.asarray(probe(c, j))  # [np2, nel]
-            blocks[sel, :, j] = col[:, sel].T
+        for j0 in range(0, np2, chunk):
+            m = min(chunk, np2 - j0)
+            pats = jnp.zeros((chunk, np2), dtype).at[
+                jnp.arange(chunk),
+                jnp.clip(jnp.arange(j0, j0 + chunk), 0, np2 - 1),
+            ].set(jnp.where(jnp.arange(chunk) < m, 1.0, 0.0))
+            blocks_dev = probe_chunk_dev(blocks_dev, pats, color_mask[:, c], j0)
+    blocks_dev = blocks_dev[:, :, :np2]
 
-    # symmetrize (probing is exact, this guards roundoff) and invert
-    blocks = 0.5 * (blocks + np.swapaxes(blocks, 1, 2))
-    # regularize: the all-Neumann global constant can make the aggregate
-    # nearly singular on tiny meshes
-    tr = np.trace(blocks, axis1=1, axis2=2) / np2
-    blocks += (1e-8 * np.maximum(tr, 1e-30))[:, None, None] * np.eye(np2)[None]
-    blocks_inv = np.linalg.inv(blocks)
+    # symmetrize (probing is exact, this guards roundoff), regularize (the
+    # all-Neumann global constant can make the aggregate nearly singular on
+    # tiny meshes), and invert — all batched on device
+    @jax.jit
+    def finalize(b):
+        b = 0.5 * (b + jnp.swapaxes(b, 1, 2))
+        tr = jnp.trace(b, axis1=1, axis2=2) / np2
+        b = b + (1e-8 * jnp.maximum(tr, 1e-30))[:, None, None] * jnp.eye(np2, dtype=b.dtype)[None]
+        return jnp.linalg.inv(b)
+
+    blocks_inv = finalize(blocks_dev)
 
     # ---- coarse operator by distance-3 colored probing ----
     if colors3_nat is not None:

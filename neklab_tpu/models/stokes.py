@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..mesh.core import SemMesh
 from ..ops import sem
 from ..ops import tensor as _tensor
-from ..ops.tensor import apply_r, apply_s, apply_t, grad_rst, interp_nd, interp_nd_t
+from ..ops.tensor import grad_rst, grad_rst_t, interp_nd, interp_nd_t
 
 
 def tensor_precision():
@@ -60,17 +60,14 @@ def grad_weak_t(mesh: SemMesh, p: jnp.ndarray) -> jnp.ndarray:
     out_k = sum_a D_a^T ( rx[a,k] * I12^T (bm2 * p) ).
     """
     d = _d(mesh)
-    dt_ = d.T
     w = interp_nd_t(_j12(mesh), p * mesh.bm2, mesh.ndim)
-    apply = (apply_r, apply_s, apply_t)
-    comps = []
-    for k in range(mesh.ndim):
-        acc = None
-        for a in range(mesh.ndim):
-            t = apply[a](dt_, mesh.rx[a, k] * w)
-            acc = t if acc is None else acc + t
-        comps.append(acc)
-    return jnp.stack(comps)
+    nd = mesh.ndim
+    return jnp.stack(
+        [
+            grad_rst_t(tuple(mesh.rx[a, k] * w for a in range(nd)), d, nd)
+            for k in range(nd)
+        ]
+    )
 
 
 def pressure_correct_velocity(mesh: SemMesh, dp: jnp.ndarray, dt_over_g0) -> jnp.ndarray:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..mesh.core import SemMesh
 from . import tensor as _tensor
-from .tensor import apply_r, apply_s, apply_t, grad_rst, interp_nd, interp_nd_t
+from .tensor import apply_r, apply_s, apply_t, grad_rst, grad_rst_t, interp_nd, interp_nd_t
 
 
 def tensor_precision():
@@ -44,10 +44,14 @@ __all__ = [
 
 
 def _struct_info(mesh: SemMesh):
+    """Parse structured-grid metadata: element-grid shape (leading-first,
+    matching the C-ordered flat element axis) and per-direction periodicity.
+    2-D: (el_s, el_r), (per_s, per_r); 3-D: (el_t, el_s, el_r), (...)."""
     for k, v in mesh.bc:
         if k == "__struct__":
-            a = v.split(",")
-            return (int(a[0]), int(a[1])), (bool(int(a[2])), bool(int(a[3])))
+            a = [int(t) for t in v.split(",")]
+            nd = len(a) // 2
+            return tuple(a[:nd]), tuple(bool(t) for t in a[nd:])
     return None
 
 
@@ -65,8 +69,8 @@ def dssum(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
     if f.size == 0:  # zero-size leading axes (e.g. nscal=0 scalar stacks)
         return f
     info = _struct_info(mesh)
-    if info is not None and mesh.ndim == 2:
-        return _dssum_structured_2d(f, mesh.basis.n, *info)
+    if info is not None:
+        return _dssum_structured(f, mesh.basis.n, *info)
     if mesh.fp_pidx is not None and mesh.ndim == 2:
         return _dssum_facepair(mesh, f)
     lead = f.shape[: f.ndim - mesh.gidx.ndim]
@@ -139,31 +143,42 @@ def _dssum_facepair(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _dssum_structured_2d(f, n, els, periodic):
-    """Factorized direct-stiffness sum on a structured 2-D element grid.
+def _dssum_structured(f, n, els, periodic):
+    """Factorized direct-stiffness sum on a structured element grid (2-D or
+    3-D): per-direction face exchanges applied sequentially — rolls and
+    slices only, which XLA fuses and (under sharding) lowers to neighbor
+    collective-permutes. Edges/corners are handled by the factorization
+    (dimension splitting is exact on tensor-product topologies).
 
-    f: [..., s, r, nel] with nel C-ordered (el_s, el_r); per-direction face
-    sums applied sequentially (corners handled by the factorization)."""
-    lead = f.shape[:-3]
-    g = f.reshape(lead + (n, n, els[0], els[1]))
-    # r-direction: node axis -3, element axis -1
-    right = g[..., :, -1, :, :]
-    left = g[..., :, 0, :, :]
-    if periodic[1]:
-        srl = right + jnp.roll(left, -1, axis=-1)
-        g = g.at[..., :, -1, :, :].set(srl).at[..., :, 0, :, :].set(jnp.roll(srl, 1, axis=-1))
-    elif els[1] > 1:
-        srl = right[..., :-1] + left[..., 1:]
-        g = g.at[..., :, -1, :, :-1].set(srl).at[..., :, 0, :, 1:].set(srl)
-    # s-direction: node axis -4, element axis -2
-    top = g[..., -1, :, :, :]
-    bot = g[..., 0, :, :, :]
-    if periodic[0]:
-        stb = top + jnp.roll(bot, -1, axis=-2)
-        g = g.at[..., -1, :, :, :].set(stb).at[..., 0, :, :, :].set(jnp.roll(stb, 1, axis=-2))
-    elif els[0] > 1:
-        stb = top[..., :-1, :] + bot[..., 1:, :]
-        g = g.at[..., -1, :, :-1, :].set(stb).at[..., 0, :, 1:, :].set(stb)
+    f: [..., (t,) s, r, nel] with nel C-ordered over els (leading dim first,
+    r-direction fastest)."""
+    ndim = len(els)
+    lead = f.shape[: -ndim - 1]
+    g = f.reshape(lead + (n,) * ndim + tuple(els))
+    N = len(lead) + 2 * ndim
+
+    def ix(ax, sl, extra=None):
+        out = [slice(None)] * N
+        out[ax % N] = sl
+        if extra is not None:
+            out[extra[0] % N] = extra[1]
+        return tuple(out)
+
+    for d in range(ndim):  # d = 0: r (fastest), 1: s, 2: t
+        na = -(ndim + 1 + d)  # node axis for this direction
+        ea = -(1 + d)  # element axis
+        size = els[ndim - 1 - d]
+        per = periodic[ndim - 1 - d]
+        hi = g[ix(na, -1)]
+        lo = g[ix(na, 0)]
+        if per:
+            s = hi + jnp.roll(lo, -1, axis=ea)
+            g = g.at[ix(na, -1)].set(s).at[ix(na, 0)].set(jnp.roll(s, 1, axis=ea))
+        elif size > 1:
+            nh = hi.ndim
+            s = hi[ix(ea, slice(None, -1))[-nh:]] + lo[ix(ea, slice(1, None))[-nh:]]
+            g = g.at[ix(na, -1, (ea, slice(None, -1)))].set(s)
+            g = g.at[ix(na, 0, (ea, slice(1, None)))].set(s)
     return g.reshape(f.shape)
 
 
@@ -193,8 +208,8 @@ def scatter_global(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
         return f.reshape(f.shape[: f.ndim - mesh.gidx.ndim] + (mesh.nglob,))
     lead = f.shape[: f.ndim - mesh.gidx.ndim]
     info = _struct_info(mesh)
-    if info is not None and mesh.ndim == 2:
-        summed = _dssum_structured_2d(f, mesh.basis.n, *info)
+    if info is not None:
+        summed = _dssum_structured(f, mesh.basis.n, *info)
         return summed.reshape(lead + (-1,))[..., mesh.gfirst]
     flat = f.reshape(lead + (-1,))
     return jnp.zeros(lead + (mesh.nglob,), f.dtype).at[..., mesh.gidx.reshape(-1)].add(flat)
@@ -231,16 +246,12 @@ def stiffness_local(mesh: SemMesh, u: jnp.ndarray) -> jnp.ndarray:
     d = _d(mesh)
     du = grad_rst(u, d, mesh.ndim)  # tuple over reference axes
     g = mesh.g
-    dt = d.T
+    nd = mesh.ndim
     # Unrolled metric contraction (NOT einsum over a stacked axis — see grad).
-    if mesh.ndim == 2:
-        fr = g[0, 0] * du[0] + g[0, 1] * du[1]
-        fs = g[1, 0] * du[0] + g[1, 1] * du[1]
-        return apply_r(dt, fr) + apply_s(dt, fs)
-    fr = g[0, 0] * du[0] + g[0, 1] * du[1] + g[0, 2] * du[2]
-    fs = g[1, 0] * du[0] + g[1, 1] * du[1] + g[1, 2] * du[2]
-    ft = g[2, 0] * du[0] + g[2, 1] * du[1] + g[2, 2] * du[2]
-    return apply_r(dt, fr) + apply_s(dt, fs) + apply_t(dt, ft)
+    flux = tuple(
+        sum(g[a, b] * du[b] for b in range(nd)) for a in range(nd)
+    )
+    return grad_rst_t(flux, d, nd)
 
 
 def helmholtz_local(mesh: SemMesh, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
@@ -258,11 +269,8 @@ def wgradp_t(mesh: SemMesh, v: jnp.ndarray) -> jnp.ndarray:
     d = _d(mesh)
     wjac = mesh.bm1  # w * jac
     nd = mesh.ndim
-    flux = [sum(mesh.rx[a, k] * v[k] for k in range(nd)) * wjac for a in range(nd)]
-    dt = d.T
-    if nd == 2:
-        return apply_r(dt, flux[0]) + apply_s(dt, flux[1])
-    return apply_r(dt, flux[0]) + apply_s(dt, flux[1]) + apply_t(dt, flux[2])
+    flux = tuple(sum(mesh.rx[a, k] * v[k] for k in range(nd)) * wjac for a in range(nd))
+    return grad_rst_t(flux, d, nd)
 
 
 # ---------------------------------------------------------------------------

@@ -46,12 +46,63 @@ def apply_t(a, u):
 _APPLY = (apply_r, apply_s, apply_t)
 
 
+# ---------------------------------------------------------------------------
+# 3-D: optionally Kronecker-folded contractions.
+#
+# A per-axis apply on a 3-D field [..., t, s, r, e] as a batched [n x n]
+# matmul has M = K = n (~8): the MXU runs at <1% utilization. Folding the
+# operator into I (x) a (x) I and flattening the point axes turns every
+# apply into ONE [n^3 x n^3]-by-[n^3, e] matmul (M = K = 512 at order 7) —
+# 8x the FLOPs for full MXU shapes. Whether that trade wins is HARDWARE
+# dependent: on a full-strength MXU it does; on flop-constrained parts the
+# fused small-einsum path is faster (measured 53 vs 71 ms/step on the
+# current chip). Default off; flip with set_kron3d(True) on big-MXU targets.
+# ---------------------------------------------------------------------------
+
+KRON3D = False
+
+
+def set_kron3d(flag: bool) -> None:
+    global KRON3D
+    KRON3D = flag
+
+
+def _kron_fold(a, left: int, right: int):
+    """I_left (x) a (x) I_right as a dense [left*m*right, left*k*right]."""
+    il = jnp.eye(left, dtype=a.dtype)
+    ir = jnp.eye(right, dtype=a.dtype)
+    m, k = a.shape
+    big = jnp.einsum("pq,ij,uv->piuqjv", il, a, ir)
+    return big.reshape(left * m * right, left * k * right)
+
+
+def _apply_axis3(a, u, axis: int):
+    """Apply a along one reference axis of a 3-D field (axis 0=r, 1=s, 2=t):
+    folded matmul when KRON3D is set, fused small einsums otherwise."""
+    if not KRON3D:
+        return (apply_r, apply_s, apply_t)[axis](a, u)
+    pt, ps, pr = u.shape[-4], u.shape[-3], u.shape[-2]
+    e = u.shape[-1]
+    lead = u.shape[:-4]
+    m = a.shape[0]
+    if axis == 0:
+        left, right, out_pts = pt * ps, 1, (pt, ps, m)
+    elif axis == 1:
+        left, right, out_pts = pt, pr, (pt, m, pr)
+    else:
+        left, right, out_pts = 1, ps * pr, (m, ps, pr)
+    A = _kron_fold(a, left, right)
+    x = u.reshape(lead + (pt * ps * pr, e))
+    out = jnp.einsum("IJ,...Je->...Ie", A, x, precision=PRECISION)
+    return out.reshape(lead + out_pts + (e,))
+
+
 def grad_rst(u, d, ndim: int):
     """Reference-space gradient: tuple (u_r, u_s[, u_t]) via the derivative
     matrix d. Axis ordering of the result tuple is (r, s, t)."""
     if ndim == 2:
         return apply_r(d, u), apply_s(d, u)
-    return apply_r(d, u), apply_s(d, u), apply_t(d, u)
+    return _apply_axis3(d, u, 0), _apply_axis3(d, u, 1), _apply_axis3(d, u, 2)
 
 
 def grad_rst_t(u, d, ndim: int):
@@ -63,16 +114,16 @@ def grad_rst_t(u, d, ndim: int):
         fr, fs = u
         return apply_r(dt, fr) + apply_s(dt, fs)
     fr, fs, ft = u
-    return apply_r(dt, fr) + apply_s(dt, fs) + apply_t(dt, ft)
+    return _apply_axis3(dt, fr, 0) + _apply_axis3(dt, fs, 1) + _apply_axis3(dt, ft, 2)
 
 
 def interp_nd(j, u, ndim: int):
     """Apply interpolation matrix j along every reference axis (grid change)."""
-    out = apply_r(j, u)
-    out = apply_s(j, out)
-    if ndim == 3:
-        out = apply_t(j, out)
-    return out
+    if ndim == 2:
+        return apply_s(j, apply_r(j, u))
+    out = _apply_axis3(j, u, 0)
+    out = _apply_axis3(j, out, 1)
+    return _apply_axis3(j, out, 2)
 
 
 def interp_nd_t(j, u, ndim: int):

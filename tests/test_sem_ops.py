@@ -6,6 +6,7 @@ LightKrylov's and Nek5000's upstream suites play there.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -167,3 +168,32 @@ def test_masks():
     pm = np.asarray(mesh.pmask).reshape(7, 7, 2, 3)
     assert np.all(pm[:, -1, :, -1] == 0)  # outflow pressure pinned
     assert np.all(pm[:, :, 0, 0] == 1)
+
+
+def test_dssum_structured_3d_vs_scatter():
+    """The factorized 3-D structured dssum (rolls/slices, dimension-split)
+    equals the general global scatter-add, including periodic wrap."""
+    from neklab_tpu.mesh.box import box_mesh
+    from neklab_tpu.ops import sem
+
+    mesh = box_mesh(
+        (3, 2, 4), ((0, 2 * np.pi), (-1, 1), (0, 3.0)),
+        {"x-": "P", "x+": "P", "y-": "W", "y+": "W", "z-": "P", "z+": "P"},
+        order=3,
+    )
+    assert sem._struct_info(mesh) is not None  # 3-D structured path active
+
+    def scatter_dssum(f):
+        lead = f.shape[: f.ndim - mesh.gidx.ndim]
+        flat = f.reshape(lead + (-1,))
+        gsum = (
+            jnp.zeros(lead + (mesh.nglob,), f.dtype)
+            .at[..., mesh.gidx.reshape(-1)]
+            .add(flat)
+        )
+        return gsum[..., mesh.gidx.reshape(-1)].reshape(f.shape)
+
+    f = jax.random.normal(jax.random.PRNGKey(0), (2,) + mesh.bm1.shape)
+    assert np.allclose(np.asarray(sem.dssum(mesh, f)), np.asarray(scatter_dssum(f)), atol=1e-13)
+    g = jax.random.normal(jax.random.PRNGKey(1), mesh.bm1.shape)
+    assert np.allclose(np.asarray(sem.dssum(mesh, g)), np.asarray(scatter_dssum(g)), atol=1e-13)
