@@ -45,7 +45,12 @@ def _edges(nel_signed: int, x0: float, x1: float, ratio: float, lines, li: int):
         # explicit edges on the following line(s)
         vals: list[float] = []
         while len(vals) < nel + 1:
-            vals.extend(_numbers(lines[li]))
+            if li >= len(lines):
+                raise ValueError(f"genbox: ran out of lines reading {nel + 1} element edges")
+            nums = _numbers(lines[li])
+            if not nums:
+                raise ValueError(f"genbox: expected element-edge coordinates, got {lines[li]!r}")
+            vals.extend(nums)
             li += 1
         return np.asarray(vals[: nel + 1]), li
     if abs(ratio - 1.0) < 1e-12:
@@ -76,9 +81,15 @@ def mesh_from_box(
     nels_signed = [int(v) for v in _numbers(lines[li])[:ndim]]; li += 1
     edges = []
     for d in range(ndim):
-        x0, x1, ratio = (_numbers(lines[li]) + [1.0])[:3]
-        li += 1
-        e, li = _edges(nels_signed[d], x0, x1, ratio, lines, li)
+        if nels_signed[d] < 0:
+            # negative nel: uniform/graded spacing from an 'x0 x1 ratio' line
+            x0, x1, ratio = (_numbers(lines[li]) + [1.0])[:3]
+            li += 1
+            e, li = _edges(nels_signed[d], x0, x1, ratio, lines, li)
+        else:
+            # positive nel: the ratio line is REPLACED by nel+1 explicit
+            # element edges starting on the current line (genbox format)
+            e, li = _edges(nels_signed[d], 0.0, 0.0, 1.0, lines, li)
         edges.append(e)
 
     def _bc_line(ln: str) -> list[str]:

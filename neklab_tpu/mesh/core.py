@@ -120,6 +120,15 @@ def build_mesh(
     tmask_hat = np.ones(nglob)
     np.minimum.at(tmask_hat, gidx.reshape(-1), tmask.reshape(-1))
 
+    # Make the LOCAL masks copy-consistent: scatter the min-over-copies
+    # global masks back onto every element copy (Nek's dsop-MUL on masks).
+    # The weighted-local CG operator in helmholtz_solve is symmetric and
+    # enforces Dirichlet values only if all copies of a shared DOF agree —
+    # meshes with mid-boundary BC transitions (W next to SYM/O) or boundary
+    # vertex fans otherwise produce copy-inconsistent masks.
+    vmask = np.stack([vmask_hat[c][gidx] for c in range(ndim_)])
+    tmask = tmask_hat[gidx]
+
     pure_neumann = bool(np.all(pmask > 0.5))
     bc = tuple(bc) + ((("__pure_neumann__", "1"),) if pure_neumann else ())
 

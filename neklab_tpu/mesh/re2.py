@@ -126,11 +126,12 @@ def _edge_points(p0, p1, params, ccurve, z01):
         if h2 < 0:
             raise ValueError(f"arc radius {radius} too small for chord {np.sqrt(c2)}")
         mid = 0.5 * (p0 + p1)
-        # normal to the chord; sign convention: positive radius curves left
-        # of the p0->p1 direction (Nek: center on the side making the arc
-        # bulge right for radius>0 traversing the side counterclockwise)
+        # Nek sign convention (verified against the reference 1cyl.re2 +
+        # BF_1cyl0 coordinates): positive radius puts the curvature CENTER on
+        # the LEFT of the directed chord p0->p1 (arc bulges right), negative
+        # radius on the right. nrm is the left unit normal.
         nrm = np.array([-chord[1], chord[0]]) / np.sqrt(c2)
-        center = mid - np.sign(radius) * np.sqrt(h2) * nrm
+        center = mid + np.sign(radius) * np.sqrt(h2) * nrm
         a0 = np.arctan2(p0[1] - center[1], p0[0] - center[0])
         a1 = np.arctan2(p1[1] - center[1], p1[0] - center[0])
         da = a1 - a0

@@ -68,7 +68,17 @@ def _parse_rdcode(rdcode: str) -> list[tuple[str, int]]:
     return out
 
 
-def read_fld(path: str) -> FldFile:
+def read_fld(path: str, reorder: bool = True) -> FldFile:
+    """Read a '#std' field file.
+
+    reorder=True (default) returns element axes in GLOBAL element order
+    (1..nelgt): files written by parallel Nek runs store elements in map
+    (rank-ownership) order, so the int32 element map must be inverted to
+    align with the .re2 mesh ordering (the reference's `load_fld` does this
+    inside Nek's I/O layer). Requires emap to be a permutation of 1..nelt
+    (single-output-group files); raises otherwise. reorder=False returns
+    raw disk order with `emap` as stored.
+    """
     with open(path, "rb") as f:
         header = f.read(132).decode("ascii", errors="replace")
         if not header.startswith("#std"):
@@ -110,6 +120,18 @@ def read_fld(path: str) -> FldFile:
                 out.t = read_block(1)[0]
             elif letter == "S" and n:
                 out.s = np.stack([read_block(1)[0] for _ in range(n)])
+        if reorder and not np.array_equal(emap, np.arange(1, nelt + 1)):
+            if sorted(emap) != list(range(1, nelt + 1)):
+                raise ValueError(
+                    f"{path}: element map is not a permutation of 1..{nelt} "
+                    "(multi-file output group?); use reorder=False"
+                )
+            perm = np.argsort(emap)  # disk position of global element i+1
+            for name in ("x", "u", "p", "t", "s"):
+                a = getattr(out, name)
+                if a is not None:
+                    setattr(out, name, np.ascontiguousarray(a[..., perm]))
+            out.emap = emap[perm]
         return out
 
 

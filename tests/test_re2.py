@@ -121,3 +121,63 @@ def test_box_file_reader():
     assert abs(float(m2.volume) - np.pi * 3.0) < 1e-10  # annulus r in [1, 2]
     assert m2.p_fixed  # enclosed
     assert (np.asarray(m2.jac) > 0).all()
+
+
+def test_masks_copy_consistent():
+    """Local Dirichlet masks must agree across all element copies of each
+    shared DOF (min-over-copies scattered back) — otherwise the weighted
+    local CG operator in helmholtz_solve is asymmetric and Dirichlet values
+    leak on free copies (meshes with mid-boundary BC transitions)."""
+    from neklab_tpu.mesh.re2 import mesh_from_re2
+
+    mesh = mesh_from_re2(CYL, order=3)
+    gidx = np.asarray(mesh.gidx).reshape(-1)
+    vm = np.asarray(mesh.vmask)
+    tm = np.asarray(mesh.tmask).reshape(-1)
+    for c in range(mesh.ndim):
+        per_dof_min = np.ones(mesh.nglob)
+        np.minimum.at(per_dof_min, gidx, vm[c].reshape(-1))
+        assert np.array_equal(vm[c].reshape(-1), per_dof_min[gidx])
+    per_dof_min = np.ones(mesh.nglob)
+    np.minimum.at(per_dof_min, gidx, tm)
+    assert np.array_equal(tm, per_dof_min[gidx])
+
+
+def test_box_file_explicit_edges(tmp_path):
+    """Positive nel in a .box file means the 'x0 x1 ratio' line is REPLACED
+    by nel+1 explicit element edges (genbox format)."""
+    from neklab_tpu.mesh.boxfile import mesh_from_box
+
+    box = """\
+2                 ndim
+1                 nfields
+Box
+3 -2              nelx nely
+0.0 0.5 2.0 4.0   explicit x edges (nel+1 = 4)
+0.0 1.0 1.0       y0 y1 ratio
+W  ,W  ,W  ,W  ,
+"""
+    p = tmp_path / "exp.box"
+    p.write_text(box)
+    m = mesh_from_box(str(p), order=3)
+    assert m.nel == 6  # 3 x 2
+    assert abs(float(m.volume) - 4.0) < 1e-12
+    xs = np.unique(np.round(np.asarray(m.x[0]).reshape(-1), 12))
+    for edge in (0.0, 0.5, 2.0, 4.0):
+        assert np.any(np.abs(xs - edge) < 1e-12)
+
+
+def test_fld_emap_reorder_aligns_with_re2():
+    """BF_1cyl0.f00001 was written by a 12-rank run (non-identity element
+    map); read_fld's default reorder must land elements in global (.re2)
+    order — verified by matching the stored mesh coordinates."""
+    from neklab_tpu.mesh.re2 import mesh_from_re2
+    from neklab_tpu.utils.fldfile import read_fld
+
+    f = read_fld(f"{REF}/cylinder/stability/direct/BF_1cyl0.f00001")
+    assert list(f.emap) == list(range(1, f.nelt + 1))
+    mesh = mesh_from_re2(CYL, order=f.lx - 1)
+    assert np.abs(f.x - np.asarray(mesh.x)).max() < 1e-5  # f4 storage
+
+    raw = read_fld(f"{REF}/cylinder/stability/direct/BF_1cyl0.f00001", reorder=False)
+    assert list(raw.emap) != list(range(1, raw.nelt + 1))
