@@ -24,10 +24,40 @@ from typing import Any
 import numpy as np
 
 from .krylov import eigs, newton, svds
+from .krylov.linop import LinearOperator
 from .krylov.space import VectorSpace
 from .linops.exponential_propagator import ExponentialPropagator
+from .utils.timers import timer
 
 logger = logging.getLogger("neklab_tpu.analysis")
+
+
+class _TimedOp(LinearOperator):
+    """Wrap an operator so every (r)matvec lands in the hierarchical timers —
+    the reference wraps every driver/operator in LightKrylov timers with an
+    exit report (neklab_analysis.f90:66-67,97-101; SURVEY section 5)."""
+
+    def __init__(self, op, name: str):
+        self._op = op
+        self._name = name
+
+    def matvec(self, x):
+        with timer(f"{self._name}/matvec"):
+            return self._op.matvec(x)
+
+    def rmatvec(self, x):
+        with timer(f"{self._name}/rmatvec"):
+            return self._op.rmatvec(x)
+
+
+def _finalize_timers(outdir: str | None):
+    """Driver-exit timer report (the reference's timer%finalize +
+    lightkrylov_tmr.log flush)."""
+    report = timer.report()
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "timers.log"), "w") as f:
+            f.write(report + "\n")
 
 
 @dataclasses.dataclass
@@ -50,9 +80,12 @@ def linear_stability_analysis_fixed_point(
     maxiter: int = 30,
     outdir: str | None = None,
     seed: int = 1234,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 8,
 ) -> StabilityResult:
     """Arnoldi/Krylov-Schur eigensolve of exp(tau A); eigenvalues mapped back
-    by lambda = log(mu)/tau (neklab_analysis.f90:84)."""
+    by lambda = log(mu)/tau (neklab_analysis.f90:84). checkpoint: Arnoldi
+    kill-and-resume state file (see krylov.eigs)."""
     t0 = time.time()
     prefix = "adj" if adjoint else "dir"
 
@@ -60,20 +93,24 @@ def linear_stability_analysis_fixed_point(
         if outdir:
             _save_spectrum(outdir, prefix, result.eigvals, exptA.tau, intermediate=cycle)
 
-    res = eigs(
-        exptA,
-        space,
-        nev=nev,
-        kdim=kdim,
-        tol=tol,
-        maxiter=maxiter,
-        which="lm",
-        adjoint=adjoint,
-        callback=cb,
-        seed=seed,
-    )
+    with timer(f"{prefix}_stability"):
+        res = eigs(
+            _TimedOp(exptA, "exptA"),
+            space,
+            nev=nev,
+            kdim=kdim,
+            tol=tol,
+            maxiter=maxiter,
+            which="lm",
+            adjoint=adjoint,
+            callback=cb,
+            seed=seed,
+            checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every,
+        )
     lam = np.log(res.eigvals.astype(complex)) / exptA.tau
     elapsed = time.time() - t0
+    _finalize_timers(outdir)
     logger.info(
         "%s stability: %d matvecs, %.1fs; leading lambda = %s",
         prefix,
@@ -144,17 +181,19 @@ def newton_fixed_point_iteration(
 
     t0 = time.time()
     sched = dynamic_tol(tol) if scheduler == "dynamic" else constant_tol(tol)
-    res = newton_solver(
-        system,
-        x0,
-        space,
-        tol=tol,
-        maxiter=maxiter,
-        scheduler=sched,
-        gmres_kdim=gmres_kdim,
-        callback=callback,
-    )
+    with timer("newton_fixed_point"):
+        res = newton_solver(
+            system,
+            x0,
+            space,
+            tol=tol,
+            maxiter=maxiter,
+            scheduler=sched,
+            gmres_kdim=gmres_kdim,
+            callback=callback,
+        )
     elapsed = time.time() - t0
+    _finalize_timers(outdir)
     logger.info(
         "newton: converged=%s |F|=%.3e in %d its (%.1fs)",
         res.converged,
@@ -195,12 +234,20 @@ def transient_growth_analysis_fixed_point(
     tol: float = 1e-6,
     outdir: str | None = None,
     seed: int = 1234,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 4,
 ) -> TransientGrowthResult:
     """Lanczos SVD of exp(tau A): optimal transient energy growth
-    (neklab_analysis.f90:107-156; each iteration = forward + adjoint solve)."""
+    (neklab_analysis.f90:107-156; each iteration = forward + adjoint solve).
+    checkpoint: Lanczos kill-and-resume state file (see krylov.svds)."""
     t0 = time.time()
-    res = svds(exptA, space, nsv=nsv, kdim=kdim, tol=tol, seed=seed)
+    with timer("transient_growth"):
+        res = svds(
+            _TimedOp(exptA, "exptA"), space, nsv=nsv, kdim=kdim, tol=tol, seed=seed,
+            checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        )
     elapsed = time.time() - t0
+    _finalize_timers(outdir)
     logger.info("transient growth: sigma = %s (%d matvecs, %.1fs)", res.s, res.n_matvec, elapsed)
     if outdir:
         os.makedirs(outdir, exist_ok=True)

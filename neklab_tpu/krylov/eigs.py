@@ -20,6 +20,7 @@ from typing import Any, Callable
 
 import numpy as np
 import scipy.linalg
+import jax.numpy as jnp
 
 from .linop import AdjointOperator, LinearOperator
 from .space import KrylovBasis, VectorSpace
@@ -52,9 +53,11 @@ def _expand_krylov(
     j0: int,
     j1: int,
     breakdown_tol: float = 1e-12,
+    save_cb: Callable | None = None,
 ) -> int:
     """Arnoldi expansion columns j0..j1-1 (V has j0+1 filled slots on entry).
-    Returns the number of matvecs performed."""
+    Returns the number of matvecs performed. save_cb(kfilled, n_mv_so_far)
+    is invoked after each completed column (checkpoint hook)."""
     import jax
 
     n_mv = 0
@@ -74,7 +77,54 @@ def _expand_krylov(
             w, _ = V.orthogonalize(w, passes=2)
             w, _ = space.normalize(w)
         V.append(w)
+        if save_cb is not None:
+            save_cb(j + 1, n_mv)
     return n_mv
+
+
+def _save_krylov_state(path: str, V: KrylovBasis, H: np.ndarray, n_mv: int) -> None:
+    """Atomic serialization of the running Arnoldi factorization — the
+    reference's Krylov restart-vector tier (SURVEY section 5, checkpoint
+    tier 2; neklab_analysis.f90:80-81,327-330). Invariant: H columns
+    0..V.k-2 are valid and V holds V.k slots."""
+    import os
+
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(V.stack)
+    data = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    data["H"] = H
+    data["vk"] = np.asarray(V.k)
+    data["n_mv"] = np.asarray(n_mv)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, path)
+
+
+def _load_krylov_state(path: str, space: VectorSpace, template: Vector, kmax: int):
+    """-> (V, H, n_mv) resuming a _save_krylov_state file."""
+    import jax
+
+    with np.load(path) as z:
+        template_stack = jax.tree_util.tree_map(
+            lambda l: jnp.zeros((kmax,) + l.shape, l.dtype), template
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(template_stack)
+        new_leaves = []
+        for i, l in enumerate(leaves):
+            arr = z[f"leaf_{i}"]
+            if arr.shape != l.shape:
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {arr.shape} != expected {l.shape} "
+                    "(kdim or mesh changed?)"
+                )
+            new_leaves.append(jnp.asarray(arr, l.dtype))
+        stack = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        H = np.asarray(z["H"])
+        vk = int(z["vk"])
+        n_mv = int(z["n_mv"])
+    V = KrylovBasis(space, None, kmax, _stack=stack, _k=vk)
+    return V, H, n_mv
 
 
 def _sort_key(ev: np.ndarray, which: str) -> np.ndarray:
@@ -97,14 +147,27 @@ def eigs(
     v0: Vector | None = None,
     callback: Callable | None = None,
     seed: int = 0,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 8,
 ) -> EigsResult:
     """Largest-modulus eigenpairs of `op` by Krylov-Schur-restarted Arnoldi.
 
     maxiter counts restart cycles of dimension kdim. `callback(cycle, result)`
     is invoked after each cycle (the reference's write_intermediate hook).
+
+    checkpoint: path of a running Arnoldi-factorization checkpoint. If the
+    file exists, the solve RESUMES from it (basis + H + matvec count); while
+    running, the state is re-saved atomically every `checkpoint_every`
+    Arnoldi columns and at every Krylov-Schur restart — so a long eigensolve
+    (kdim x O(10^3)-step matvecs) killed mid-cycle loses at most
+    checkpoint_every matvecs. Reference: the intermediate-spectrum /
+    restart-basis tier (neklab_analysis.f90:80-81,327-330); this checkpoints
+    the full factorization instead, which is strictly stronger.
     """
     if adjoint:
         op = AdjointOperator(op)
+    import os
+
     import jax
 
     if v0 is None:
@@ -113,14 +176,29 @@ def eigs(
     if nrm == 0:
         raise ValueError("zero start vector")
 
-    V = KrylovBasis(space, v0, kdim + 1)
-    V.append(v0)
-    H = np.zeros((kdim + 1, kdim))
-    k_active = 0  # currently valid columns of H
     n_mv = 0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        V, H, n_mv = _load_krylov_state(checkpoint, space, v0, kdim + 1)
+        k_active = V.k - 1
+        logger.info(
+            "eigs: resumed from %s (%d columns, %d matvecs so far)",
+            checkpoint, k_active, n_mv,
+        )
+    else:
+        V = KrylovBasis(space, v0, kdim + 1)
+        V.append(v0)
+        H = np.zeros((kdim + 1, kdim))
+        k_active = 0  # currently valid columns of H
 
     for cycle in range(maxiter):
-        n_mv += _expand_krylov(op, space, V, H, k_active, kdim)
+        save_cb = None
+        if checkpoint is not None:
+            # close over THIS cycle's (V, H, n_mv): V is rebound at restarts
+            def save_cb(kfilled, mv_in_expand, _V=V, _H=H, _mv=n_mv):
+                if checkpoint_every and kfilled % checkpoint_every == 0:
+                    _save_krylov_state(checkpoint, _V, _H, _mv + mv_in_expand)
+
+        n_mv += _expand_krylov(op, space, V, H, k_active, kdim, save_cb=save_cb)
         m = kdim
         S = H[:m, :m]
         b = H[m, :m]
@@ -177,5 +255,7 @@ def eigs(
         H[:p_eff, :p_eff] = T[:p_eff, :p_eff]
         H[p_eff, :p_eff] = bnew
         k_active = p_eff
+        if checkpoint is not None:
+            _save_krylov_state(checkpoint, V, H, n_mv)
 
     raise RuntimeError("unreachable")

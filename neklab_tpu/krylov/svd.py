@@ -48,6 +48,41 @@ class SvdsResult:
         return sub.lincomb_many(self.v_coeffs)
 
 
+def _save_lanczos_state(path, U, V, alphas, betas, j, n_mv):
+    """Atomic Lanczos-bidiagonalization checkpoint (both bases + couplings) —
+    SURVEY section 5 checkpoint tier 2 for the kdim=512 transient-growth
+    runs (neklab_analysis.f90:136)."""
+    import os
+
+    import jax
+
+    data = {f"u_{i}": np.asarray(l) for i, l in enumerate(jax.tree_util.tree_leaves(U.stack))}
+    data.update({f"v_{i}": np.asarray(l) for i, l in enumerate(jax.tree_util.tree_leaves(V.stack))})
+    data.update(alphas=alphas, betas=betas, j=np.asarray(j), n_mv=np.asarray(n_mv),
+                uk=np.asarray(U.k), vk=np.asarray(V.k))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, path)
+
+
+def _load_lanczos_state(path, space, template, kdim):
+    import jax
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        tstack = jax.tree_util.tree_map(
+            lambda l: jnp.zeros((kdim + 1,) + l.shape, l.dtype), template
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(tstack)
+        u_leaves = [jnp.asarray(z[f"u_{i}"], l.dtype) for i, l in enumerate(leaves)]
+        v_leaves = [jnp.asarray(z[f"v_{i}"], l.dtype) for i, l in enumerate(leaves)]
+        U = KrylovBasis(space, None, kdim + 1,
+                        _stack=jax.tree_util.tree_unflatten(treedef, u_leaves), _k=int(z["uk"]))
+        V = KrylovBasis(space, None, kdim + 1,
+                        _stack=jax.tree_util.tree_unflatten(treedef, v_leaves), _k=int(z["vk"]))
+        return U, V, np.asarray(z["alphas"]), np.asarray(z["betas"]), int(z["j"]), int(z["n_mv"])
+
+
 def svds(
     op: LinearOperator,
     space: VectorSpace,
@@ -56,8 +91,15 @@ def svds(
     tol: float = 1e-6,
     v0: Vector | None = None,
     seed: int = 0,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 4,
 ) -> SvdsResult:
-    """Leading nsv singular triplets of `op` via Lanczos bidiagonalization."""
+    """Leading nsv singular triplets of `op` via Lanczos bidiagonalization.
+
+    checkpoint: path for kill-and-resume state (saved atomically every
+    `checkpoint_every` Lanczos iterations; resumed when the file exists)."""
+    import os
+
     import jax
 
     if v0 is None:
@@ -70,8 +112,15 @@ def svds(
     alphas = np.zeros(kdim)
     betas = np.zeros(kdim)  # betas[j]: coupling A^T u_j -> v_{j+1}
     n_mv = 0
+    j0 = 0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        U, V, alphas_l, betas_l, j0, n_mv = _load_lanczos_state(checkpoint, space, v, kdim)
+        m = min(len(alphas_l), kdim)
+        alphas[:m] = alphas_l[:m]
+        betas[:m] = betas_l[:m]
+        logger.info("svds: resumed from %s (j=%d, %d matvecs)", checkpoint, j0, n_mv)
 
-    for j in range(kdim):
+    for j in range(j0, kdim):
         u = op.matvec(V[j])
         n_mv += 1
         if U is None:
@@ -87,6 +136,9 @@ def svds(
         w, b = space.normalize(w)
         betas[j] = b
         V.append(w)
+
+        if checkpoint is not None and checkpoint_every and (j + 1) % checkpoint_every == 0:
+            _save_lanczos_state(checkpoint, U, V, alphas, betas, j + 1, n_mv)
 
         if j + 1 >= max(nsv, 2):
             B = _bidiag(alphas[: j + 1], betas[:j])

@@ -60,6 +60,9 @@ class SemMesh:
     fp_mask: jnp.ndarray | None = None  # [4*nel] 1.0 interior face, 0.0 boundary
     fp_vsib: jnp.ndarray | None = None  # int32 [maxmult-1, 4*nel] vertex sibling copies (pad 4*nel)
     fp_nvert: int = 0  # static: number of unique vertices
+    # element permutation when the builder reordered elements for partition
+    # locality (RCB): arr_here = arr_file_order[..., eperm]. None = identity.
+    eperm: jnp.ndarray | None = None  # int32 [nel]
 
     @property
     def npts(self) -> int:
@@ -86,6 +89,7 @@ def build_mesh(
     tmask: np.ndarray | None = None,
     bc: tuple = (),
     dtype=jnp.float64,
+    eperm: np.ndarray | None = None,
 ) -> SemMesh:
     """Finalize host-side geometry + connectivity into a device SemMesh.
 
@@ -175,7 +179,17 @@ def build_mesh(
         fp_mask=cast(fp[2]) if fp else None,
         fp_vsib=jnp.asarray(fp[3]) if fp else None,
         fp_nvert=fp[4] if fp else 0,
+        eperm=jnp.asarray(np.asarray(eperm, np.int32)) if eperm is not None else None,
     )
+
+
+def from_file_order(mesh: SemMesh, arr):
+    """Map an element-LAST array in FILE (global .re2/.fld) element order onto
+    this mesh's element order (identity unless the mesh was built with RCB
+    partition reordering)."""
+    if mesh.eperm is None:
+        return arr
+    return jnp.asarray(np.asarray(arr)[..., np.asarray(mesh.eperm)])
 
 
 def _facepair_schedule(gidx: np.ndarray):

@@ -227,6 +227,36 @@ def _face_slice(ndim, n, axis, end):
     return tuple(idx)
 
 
+def rcb_order(centroids: np.ndarray, nparts: int) -> np.ndarray:
+    """Element permutation placing each recursive-coordinate-bisection part
+    contiguously (part 0 first): perm[new_position] = old_element. Under the
+    contiguous element sharding of parallel/sharding.py this makes each
+    chip's elements spatially compact, so face partners are chip-local —
+    the reference's genmap/RCB partitioning role (SURVEY section 2.2).
+    Native C++ RCB when available, numpy recursion otherwise."""
+    from .. import native
+
+    part = native.rcb_partition(centroids, nparts)
+    if part is None:
+        nel = centroids.shape[0]
+        part = np.zeros(nel, dtype=np.int64)
+
+        def rec(idx, p0, np_):
+            if np_ == 1:
+                part[idx] = p0
+                return
+            c = centroids[idx]
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            half = np_ // 2
+            cut = len(idx) * half // np_
+            order = idx[np.argsort(c[:, ax], kind="stable")]
+            rec(order[:cut], p0, half)
+            rec(order[cut:], p0 + half, np_ - half)
+
+        rec(np.arange(nel), 0, nparts)
+    return np.argsort(part, kind="stable")
+
+
 def mesh_from_re2(
     path: str,
     order: int = 6,
@@ -234,6 +264,7 @@ def mesh_from_re2(
     dtype=jnp.float64,
     tol: float = 1e-8,
     bc_fn=None,
+    partition: int | None = None,
 ) -> SemMesh:
     """Read a .re2 file and build a SemMesh (general unstructured path).
 
@@ -243,6 +274,11 @@ def mesh_from_re2(
     code is unassigned ('E', 'MSH', empty) — the analog of the reference
     cases' `usrdat2` BC rewiring (e.g. gmsh-imported meshes ship with 'MSH'
     placeholders, back_fstep/*).
+
+    partition: reorder elements by an `partition`-way RCB so the contiguous
+    element sharding over that many chips gets spatially compact subdomains
+    (chip-local face partners). The permutation is recorded on the mesh
+    (mesh.eperm); map file-ordered fields with mesh.core.from_file_order.
     """
     data = read_re2(path)
     n = order + 1
@@ -254,6 +290,15 @@ def mesh_from_re2(
         x = _gll_coords_2d(data, n, z01)
     else:
         x = _gll_coords_3d(data, n, z01)
+
+    eperm = None
+    el_newpos = None  # old element id -> new position
+    if partition is not None and partition > 1:
+        cent = x.reshape(data.ndim, data.nel, -1).mean(axis=2).T  # [nel, ndim]
+        eperm = rcb_order(cent, partition)
+        el_newpos = np.empty(data.nel, dtype=np.int64)
+        el_newpos[eperm] = np.arange(data.nel)
+        x = np.ascontiguousarray(x[:, eperm])
 
     scale = max(np.ptp(x[d]) for d in range(data.ndim))
     gidx = connectivity_from_coords(x, tol=tol * max(scale, 1.0))
@@ -267,6 +312,18 @@ def mesh_from_re2(
 
     vel_bcs = data.bcs[0] if data.bcs else []
     tmp_bcs = data.bcs[1] if len(data.bcs) > 1 else []
+    if el_newpos is not None:
+        # BC records reference FILE element ids; remap to the RCB order
+        # (incl. the periodic partner id stored in params[0])
+        def _remap(rec):
+            iel, iside, params, cbc = rec
+            params = np.array(params, copy=True)
+            if cbc.strip().upper() == "P":
+                params[0] = el_newpos[int(params[0]) - 1] + 1
+            return (int(el_newpos[iel]), iside, params, cbc)
+
+        vel_bcs = [_remap(r) for r in vel_bcs]
+        tmp_bcs = [_remap(r) for r in tmp_bcs]
     periodic_pairs = []
 
     if bc_fn is not None:
@@ -368,4 +425,5 @@ def mesh_from_re2(
 
     geom = compute_geom(x, basis)
     bc_meta = (("re2", path.rsplit("/", 1)[-1]),)
-    return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype)
+    return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype,
+                      eperm=eperm)

@@ -91,29 +91,66 @@ def pert_initial(mesh: SemMesh, cfg: LinConfig, u, theta=None) -> PertState:
     )
 
 
+def _explicit_lin_map(mesh, cfg: LinConfig, conv_cache, theta_shape):
+    """The explicit linearized operator E(u, theta) -> (n_u, n_t) in LOCAL
+    WEAK form (convection + linear coupling forces, before dssum)."""
+
+    def emap(u, theta):
+        cu, ct = sem.convect_lin_weak(mesh, u, theta if cfg.nscal else None, conv_cache)
+        n_u = -cu
+        if cfg.lin_forcing_fn is not None:
+            n_u = n_u + mesh.bm1 * cfg.lin_forcing_fn(mesh, u, theta)
+        if cfg.nscal:
+            n_t = -ct
+            if cfg.lin_source_fn is not None:
+                n_t = n_t + mesh.bm1 * cfg.lin_source_fn(mesh, u, theta)
+        else:
+            n_t = jnp.zeros(theta_shape, u.dtype)
+        return n_u, n_t
+
+    return emap
+
+
+def adjoint_explicit_lin_map(mesh, cfg: LinConfig, conv_cache, theta_shape, dtype):
+    """Exact B-pairing transpose of the explicit weak operator.
+
+    For C0 fields the assembled bilinear form is a(u, v) = sum E(u) . v over
+    local copies (E is a weak form), so the adjoint weak form is the plain
+    Euclidean transpose of the LOCAL map: E_adj = linear_transpose(E). This
+    replaces the reference's hand-coded `convop_adj` kernels
+    (/root/reference/src/linops/neklab_linops.f90:287-302) and is exact at
+    the discrete level (dealiasing, metric terms, coupling forces included).
+    """
+    emap = _explicit_lin_map(mesh, cfg, conv_cache, theta_shape)
+    shape = mesh.bm1.shape
+    u_ex = jax.ShapeDtypeStruct((mesh.ndim,) + shape, dtype)
+    t_ex = jax.ShapeDtypeStruct(theta_shape, dtype)
+    transpose = jax.linear_transpose(emap, u_ex, t_ex)
+
+    def eadj(v, psi):
+        wu, wt = transpose((v, psi))
+        return wu, wt
+
+    return eadj
+
+
 def _lin_terms(mesh, cfg: LinConfig, u, theta, base_u, base_theta, force, source,
-               conv_cache=None):
+               conv_cache=None, emap=None):
     """Weak linearized explicit terms about (base_u, base_theta).
 
     conv_cache: precomputed frozen-base dealias quantities
     (sem.lin_convect_cache) — supplied by the propagators so the base-flow
-    interpolations are not redone every step."""
-    if conv_cache is None:
-        conv_cache = sem.lin_convect_cache(mesh, base_u, base_theta)
-    cu, ct = sem.convect_lin_weak(mesh, u, theta if cfg.nscal else None, conv_cache)
-    n_u = -cu
-    if cfg.lin_forcing_fn is not None:
-        n_u = n_u + mesh.bm1 * cfg.lin_forcing_fn(mesh, u, theta)
+    interpolations are not redone every step. emap: override the explicit
+    operator (e.g. its adjoint for transposed/adjoint OTD evolution)."""
+    if emap is None:
+        if conv_cache is None:
+            conv_cache = sem.lin_convect_cache(mesh, base_u, base_theta)
+        emap = _explicit_lin_map(mesh, cfg, conv_cache, theta.shape)
+    n_u, n_t = emap(u, theta)
     if force is not None:
         n_u = n_u + mesh.bm1 * force
-    if cfg.nscal:
-        n_t = -ct
-        if cfg.lin_source_fn is not None:
-            n_t = n_t + mesh.bm1 * cfg.lin_source_fn(mesh, u, theta)
-        if source is not None:
-            n_t = n_t + mesh.bm1 * source
-    else:
-        n_t = jnp.zeros_like(theta)
+    if cfg.nscal and source is not None:
+        n_t = n_t + mesh.bm1 * source
     return n_u, n_t
 
 
@@ -131,17 +168,25 @@ def step_lin(
     pc_e=None,
     dt=None,
     conv_cache=None,
+    emap=None,
 ) -> PertState:
-    """One linearized BDF(order)/EXT(order) step (homogeneous BCs)."""
+    """One linearized BDF(order)/EXT(order) step (homogeneous BCs).
+
+    emap: explicit-operator override (adjoint_explicit_lin_map for the
+    continuous-adjoint evolution used by transposed OTD)."""
     fc = cfg.flow
     dt = fc.dt if dt is None else dt
     g0, betas = _BDF[order]
     alphas = _EXT[order]
 
     n_u, n_t = _lin_terms(mesh, cfg, state.u, state.theta, base_u, base_theta, force, source,
-                          conv_cache=conv_cache)
+                          conv_cache=conv_cache, emap=emap)
 
-    pstar = state.p  # incremental (non-extrapolated) pressure: robust default
+    # pressure treatment mirrors the nonlinear step (cfg.flow.pextrap)
+    if fc.pextrap >= 2 and order >= 2:
+        pstar = 2.0 * state.p - state.plag[0]
+    else:
+        pstar = state.p
     nstar = alphas[0] * n_u + alphas[1] * state.nlag[0] + alphas[2] * state.nlag[1]
     bsum = betas[0] * state.u + betas[1] * state.ulag[0] + betas[2] * state.ulag[1]
     rhs = (fc.rho / dt) * mesh.bm1 * bsum + nstar + stokes.grad_weak_t(mesh, pstar)
@@ -155,7 +200,8 @@ def step_lin(
 
     dt_over_g0 = dt / (g0 * fc.rho)
     psolve = make_pressure_solver(mesh, fc, dt_over_g0, pc=pc_e)
-    dp = psolve(-stokes.div_weak(mesh, ustar), x0=state.p - state.plag[0])
+    dp = psolve(-stokes.div_weak(mesh, ustar),
+                x0=(state.p - state.plag[0]) if fc.pextrap < 2 else None)
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
     p_new = pstar + dp

@@ -61,6 +61,10 @@ class FlowConfig:
     ttol: float = 1e-10
     vmaxit: int = 500
     pmaxit: int = 800
+    pextrap: int = 1  # pressure treatment: 1 = incremental (p* = p^n),
+    # 2 = extrapolated (p* = 2 p^n - p^{n-1}, one more power of dt in the
+    # splitting error; Nek plan4-style). Default 1: unconditionally robust,
+    # and the cylinder parity oracle (PARITY_r02.json) is met with it.
     forcing_fn: Callable | None = None
     source_fn: Callable | None = None
 
@@ -269,9 +273,12 @@ def step(
     n_u, n_t = _explicit_terms(mesh, cfg, state.u, state.theta, state.time, extra_force)
 
     # ---- velocity ----
-    # 2nd-order pressure extrapolation p* = 2 p^n - p^{n-1} (order >= 2):
-    # cuts the incremental-splitting error by one power of dt.
-    pstar = state.p  # incremental (non-extrapolated) pressure: robust default
+    # pressure treatment (cfg.pextrap): incremental p* = p^n, or extrapolated
+    # p* = 2 p^n - p^{n-1} (one more power of dt in the splitting error)
+    if cfg.pextrap >= 2 and order >= 2:
+        pstar = 2.0 * state.p - state.plag[0]
+    else:
+        pstar = state.p
     nstar = alphas[0] * n_u + alphas[1] * state.nlag[0] + alphas[2] * state.nlag[1]
     bsum = betas[0] * state.u + betas[1] * state.ulag[0] + betas[2] * state.ulag[1]
     rhs = (cfg.rho / dt) * mesh.bm1 * bsum + nstar + stokes.grad_weak_t(mesh, pstar)
@@ -289,7 +296,10 @@ def step(
     dt_over_g0 = dt / (g0 * cfg.rho)
     psolve = make_pressure_solver(mesh, cfg, dt_over_g0, pc=pc_e)
     rhs_p = -stokes.div_weak(mesh, ustar)
-    dp = psolve(rhs_p, x0=state.p - state.plag[0])
+    # warm start: previous increment (pextrap=1 only — under extrapolation dp
+    # is the second difference, for which p^n - p^{n-1} is a worse guess
+    # than zero)
+    dp = psolve(rhs_p, x0=(state.p - state.plag[0]) if cfg.pextrap < 2 else None)
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
     p_new = pstar + dp

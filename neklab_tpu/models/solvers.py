@@ -77,6 +77,47 @@ def pcg(
     return x
 
 
+def pcg_info(
+    op: Callable,
+    b,
+    precond: Callable | None = None,
+    x0=None,
+    tol: float = 1e-8,
+    maxiter: int = 500,
+):
+    """pcg + diagnostics: (x, iterations, final ||r||^2). For solver-quality
+    reporting (bench iteration counts) — custom_linear_solve cannot return
+    auxiliary outputs, so production steps use `pcg`/`linear_solve` and the
+    bench re-runs one representative solve through this entry."""
+    if precond is None:
+        precond = lambda r: r
+    if x0 is None:
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+    r0 = jax.tree_util.tree_map(jnp.subtract, b, op(x0))
+    z0 = precond(r0)
+    rr0 = _tree_dot(r0, r0)
+
+    def cond(state):
+        _, _, _, _, rr, k = state
+        return jnp.logical_and(rr > tol * tol, k < maxiter)
+
+    def body(state):
+        x, r, z, p, rr, k = state
+        ap = op(p)
+        rz = _tree_dot(r, z)
+        alpha = rz / jnp.maximum(_tree_dot(p, ap), 1e-300)
+        x = jax.tree_util.tree_map(lambda xi, pi: xi + alpha * pi, x, p)
+        r = jax.tree_util.tree_map(lambda ri, ai: ri - alpha * ai, r, ap)
+        z = precond(r)
+        rz_new = _tree_dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = jax.tree_util.tree_map(lambda zi, pi: zi + beta * pi, z, p)
+        return (x, r, z, p, _tree_dot(r, r), k + 1)
+
+    x, r, z, p, rr, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rr0, 0))
+    return x, k, rr
+
+
 def linear_solve(
     op: Callable,
     b,

@@ -41,18 +41,25 @@ logger = logging.getLogger("neklab_tpu.otd")
 
 @dataclasses.dataclass(frozen=True)
 class OtdOpts:
-    """The reference's otd_opts (neklab_otd.f90:51-72)."""
+    """The reference's otd_opts (neklab_otd.f90:51-72). All knobs are wired:
+    startstep (OTD evolution begins at that base step), orthostep
+    (re-orthonormalization cadence), printstep (Ls/Lr spectral-analysis
+    cadence), iostep (projected-mode outposting cadence), iorststep
+    (basis restart-checkpoint cadence), trans (adjoint OTD evolution),
+    solve_baseflow (co-evolve the nonlinear base)."""
 
     r: int = 2  # number of OTD modes (lpert)
     startstep: int = 1
     orthostep: int = 10  # re-orthonormalize every so many steps
-    printstep: int = 10  # spectral analysis cadence (= chunk size here)
-    iostep: int = 0  # outpost cadence (0 = never)
+    printstep: int = 10  # spectral analysis cadence
+    iostep: int = 0  # projected-mode outpost cadence (0 = never)
+    iorststep: int = 0  # basis restart-checkpoint cadence (0 = never)
     solve_baseflow: bool = False
     trans: bool = False  # adjoint (transposed) OTD evolution
 
 
-def apply_l(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, st: PertState):
+def apply_l(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, st: PertState,
+            trans: bool = False):
     """Frozen-coefficient linearized NS right-hand side L u (strong form):
 
       L u = Binv vmask dssum( -(v, U.grad u) - (v, u.grad U) - nu (grad v, grad u)
@@ -60,14 +67,22 @@ def apply_l(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, st: PertState):
 
     using the perturbation's own pressure (the reference's apply_L/apply_Lv,
     neklab_linops.f90:268-426, with `mappr`-style pressure term).
+
+    trans=True applies the B-adjoint of the convection + coupling part
+    (exact discrete transpose via jax.linear_transpose — replaces the
+    reference's convop_adj path, neklab_linops.f90:287-302); the viscous term
+    is self-adjoint and the pressure term keeps the input's own pressure,
+    matching apply_L(trans=.true.).
     """
+    from .models.linearized import _explicit_lin_map, adjoint_explicit_lin_map
+
     fc = cfg.flow
-    n_u = -(
-        sem.convect_volume_weak(mesh, st.u, base_u)
-        + sem.convect_volume_weak(mesh, base_u, st.u)
-    )
-    if cfg.lin_forcing_fn is not None:
-        n_u = n_u + mesh.bm1 * cfg.lin_forcing_fn(mesh, st.u, st.theta)
+    ccache = sem.lin_convect_cache(mesh, base_u, base_theta if cfg.nscal else None)
+    if trans:
+        emap = adjoint_explicit_lin_map(mesh, cfg, ccache, st.theta.shape, st.u.dtype)
+    else:
+        emap = _explicit_lin_map(mesh, cfg, ccache, st.theta.shape)
+    n_u, _ = emap(st.u, st.theta)
     visc = -fc.viscosity * jnp.stack([sem.stiffness_local(mesh, st.u[i]) for i in range(mesh.ndim)])
     gp = stokes.grad_weak_t(mesh, st.p)
     return mesh.vmask * mesh.binv * sem.dssum(mesh, n_u + visc + gp)
@@ -92,7 +107,7 @@ def orthonormalize_states(mesh: SemMesh, states: PertState) -> PertState:
     return jax.tree_util.tree_map(rotate, states)
 
 
-@partial(jax.jit, static_argnames=("cfg", "opts", "ksteps", "ramp"))
+@partial(jax.jit, static_argnames=("cfg", "opts", "ksteps", "ramp", "ortho_every"))
 def otd_chunk(
     mesh: SemMesh,
     cfg: LinConfig,
@@ -105,11 +120,18 @@ def otd_chunk(
     tb=None,
     pc_e=None,
     vdiag=None,
+    ortho_every: int = 0,
 ):
     """Advance base + r perturbations ksteps, orthonormalize, and return the
     reduced operator Lr. One compiled program per chunk. Set ramp=True for
     the FIRST chunk: BDF3 with cold (zero) history slots is violently
-    unstable, so the first two steps run at orders 1 and 2."""
+    unstable, so the first two steps run at orders 1 and 2.
+
+    ortho_every: re-orthonormalize the basis every so many steps inside the
+    chunk (the reference's opts%orthostep cadence); 0 = only at chunk end.
+    opts.trans evolves the ADJOINT linearized equations and uses the
+    transposed frozen-LNS operator for Lr (neklab_otd.f90:63, apply_adjLNS).
+    """
     fc = cfg.flow
     tmax = min(fc.torder, 3)
     g0 = _BDF[tmax][0]
@@ -117,14 +139,25 @@ def otd_chunk(
         vdiag = helmholtz_diag(mesh, fc.viscosity, fc.rho * g0 / fc.dt, mesh.vmask)
 
     def lu_all(b_u, b_th, ps):
-        return jax.vmap(lambda s: apply_l(mesh, cfg, b_u, b_th, s))(ps)
+        return jax.vmap(lambda s: apply_l(mesh, cfg, b_u, b_th, s, trans=opts.trans))(ps)
+
+    def emap_for(b_u, b_th):
+        if not opts.trans:
+            return None
+        from .models.linearized import adjoint_explicit_lin_map
+
+        ccache = sem.lin_convect_cache(mesh, b_u, b_th if cfg.nscal else None)
+        th_shape = (cfg.nscal,) + mesh.bm1.shape
+        return adjoint_explicit_lin_map(mesh, cfg, ccache, th_shape, mesh.bm1.dtype)
 
     def do_step(b, ps, order):
         lu = lu_all(b.u, b.theta, ps)
         lr = _mass_dots(mesh, ps.u, lu)
         forces = -jnp.einsum("ji,j...->i...", lr, ps.u)
+        emap = emap_for(b.u, b.theta)
         step_fn = lambda s, f: step_lin(
-            mesh, cfg, s, b.u, b.theta, order=order, force=f, vdiag=vdiag, pc_e=pc_e
+            mesh, cfg, s, b.u, b.theta, order=order, force=f, vdiag=vdiag, pc_e=pc_e,
+            emap=emap,
         )
         ps = jax.vmap(step_fn)(ps, forces)
         if opts.solve_baseflow:
@@ -140,7 +173,20 @@ def otd_chunk(
         b, ps = do_step(b, ps, tmax)
         return (b, ps), None
 
-    (base, perts), _ = jax.lax.scan(one_step, (base, perts), None, length=ksteps - n_ramp)
+    def run_block(b, ps, length):
+        (b, ps), _ = jax.lax.scan(one_step, (b, ps), None, length=length)
+        return b, ps
+
+    remaining = ksteps - n_ramp
+    blk = ortho_every if ortho_every and ortho_every < remaining else remaining
+    done = 0
+    while done < remaining:
+        k = min(blk, remaining - done)
+        if k > 0:
+            base, perts = run_block(base, perts, k)
+        done += k
+        if done < remaining:
+            perts = orthonormalize_states(mesh, perts)
     perts = orthonormalize_states(mesh, perts)
     lu = lu_all(base.u, base.theta, perts)
     lr = _mass_dots(mesh, perts.u, lu)
@@ -193,6 +239,56 @@ class OtdResult:
     eigvals_sym: np.ndarray  # spectrum of its symmetric part
 
 
+def outpost_otd_modes(
+    mesh: SemMesh, perts: PertState, lr: np.ndarray, outdir: str,
+    counter: int = 1, case: str = "otd", time: float = 0.0,
+) -> list[str]:
+    """Project the OTD basis by the (real part of the) Lr eigenvector matrix
+    and write one binary Nek field file per mode, prefix 'm01', 'm02', ... —
+    the reference's `outpost_OTDmodes` (neklab_otd.f90:267-300)."""
+    from .utils.fldfile import write_fld
+
+    w, eigvec = np.linalg.eig(np.asarray(lr))
+    order = np.argsort(-w.real, kind="stable")
+    ev = np.asarray(eigvec[:, order].real)  # [r (basis), r (mode)]
+    u = np.asarray(perts.u)  # [r, ndim, ...]
+    p = np.asarray(perts.p)  # [r, ...2]
+    modes_u = np.einsum("jr,j...->r...", ev, u)
+    modes_p = np.einsum("jr,j...->r...", ev, p)
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for i in range(u.shape[0]):
+        path = os.path.join(outdir, f"m{i + 1:02d}{case}0.f{counter:05d}")
+        write_fld(path, mesh=mesh, u=modes_u[i], p=modes_p[i], time=time)
+        paths.append(path)
+    return paths
+
+
+def save_otd_restart(outdir: str, perts: PertState, base: FlowState,
+                     counter: int = 1, case: str = "otd") -> str:
+    """Write the full OTD basis (+ co-evolved base) as a restart checkpoint —
+    the reference's `rst` basis outposting (neklab_analysis.f90:327-330)."""
+    path = os.path.join(outdir, f"rst{case}0.f{counter:05d}.npz")
+    data = {}
+    for f in dataclasses.fields(perts):
+        data["pert_" + f.name] = np.asarray(getattr(perts, f.name))
+    for f in dataclasses.fields(base):
+        data["base_" + f.name] = np.asarray(getattr(base, f.name))
+    os.makedirs(outdir, exist_ok=True)
+    np.savez_compressed(path, **data)
+    return path
+
+
+def load_otd_restart(path: str, perts_tmpl: PertState, base_tmpl: FlowState):
+    """Resume from a save_otd_restart checkpoint: (perts, base)."""
+    with np.load(path) as z:
+        pk = {f.name: jnp.asarray(z["pert_" + f.name], getattr(perts_tmpl, f.name).dtype)
+              for f in dataclasses.fields(perts_tmpl)}
+        bk = {f.name: jnp.asarray(z["base_" + f.name], getattr(base_tmpl, f.name).dtype)
+              for f in dataclasses.fields(base_tmpl)}
+    return dataclasses.replace(perts_tmpl, **pk), dataclasses.replace(base_tmpl, **bk)
+
+
 def otd_analysis(
     mesh: SemMesh,
     cfg: LinConfig,
@@ -206,11 +302,15 @@ def otd_analysis(
     outdir: str | None = None,
     seed: int = 7,
     ic_paths: list[str] | None = None,
+    restart: str | None = None,
 ) -> OtdResult:
     """The reference's otd_analysis driver loop (neklab_analysis.f90:214-344):
     random (or file-loaded, or given) orthonormal ICs, chunked evolution,
-    Ls/Lr spectra logging. ic_paths: OTDIC-style field files (see
-    load_otd_ics)."""
+    Ls/Lr spectra logging, projected-mode outposting every `iostep`, basis
+    restart checkpoints every `iorststep`, OTD start deferred to `startstep`.
+    ic_paths: OTDIC-style field files (see load_otd_ics). restart: resume
+    from a save_otd_restart checkpoint (exact state, better than the
+    reference's field-file roundtrip)."""
     fc = cfg.flow
     if init_perts is None and ic_paths:
         init_perts = load_otd_ics(mesh, cfg, ic_paths, r=opts.r, seed=seed)
@@ -220,34 +320,66 @@ def otd_analysis(
         u = jax.vmap(lambda f: mesh.vmask * sem.dsavg(mesh, f))(u)
         init_perts = jax.vmap(lambda ui: pert_initial(mesh, cfg, ui))(u)
         init_perts = orthonormalize_states(mesh, init_perts)
-
     perts = init_perts
-    chunk = max(1, opts.printstep)
     done = 0
+    if restart is not None:
+        perts, base = load_otd_restart(restart, perts, base)
+
+    # pre-advance the base alone until the OTD start step (reference:
+    # istep >= opts%startstep gate, neklab_analysis.f90:255-257)
+    pre = min(max(opts.startstep - 1, 0), nsteps) if restart is None else 0
+    if pre and opts.solve_baseflow:
+        from .models.navier_stokes import advance
+
+        base = advance(mesh, fc, base, pre, ub=ub, tb=tb, pc_e=pc_e)
+    done += pre
+
     lr_history = []
     f_ls = f_lr = None
+    io_counter = rst_counter = 0
     if outdir:
         os.makedirs(outdir, exist_ok=True)
-        f_ls = open(os.path.join(outdir, "Ls.dat"), "w")
-        f_lr = open(os.path.join(outdir, "Lr.dat"), "w")
+        mode = "a" if restart is not None else "w"
+        f_ls = open(os.path.join(outdir, "Ls.dat"), mode)
+        f_lr = open(os.path.join(outdir, "Lr.dat"), mode)
+
+    def next_event(k):
+        """Steps until the next cadence boundary after k evolved OTD steps."""
+        cadences = [opts.printstep]
+        if opts.iostep:
+            cadences.append(opts.iostep)
+        if opts.iorststep:
+            cadences.append(opts.iorststep)
+        return min(c - (k % c) for c in cadences if c > 0)
+
+    evolved = 0  # OTD steps evolved (after startstep)
     try:
         while done < nsteps:
-            k = min(chunk, nsteps - done)
+            k = min(next_event(evolved), nsteps - done)
             base, perts, lr = otd_chunk(
-                mesh, cfg, opts, base, perts, k, ramp=(done == 0), ub=ub, tb=tb, pc_e=pc_e
+                mesh, cfg, opts, base, perts, k, ramp=(evolved == 0 and restart is None),
+                ub=ub, tb=tb, pc_e=pc_e, ortho_every=opts.orthostep,
             )
             done += k
+            evolved += k
             lr_np = np.asarray(lr)
             t = float(base.time)
-            lr_history.append((t, lr_np))
-            ev = np.sort_complex(np.linalg.eigvals(lr_np))[::-1]
-            evs = np.sort(np.linalg.eigvalsh(0.5 * (lr_np + lr_np.T)))[::-1]
-            if f_ls is not None:
-                f_ls.write(" ".join(f"{v:.10e}" for v in evs) + f" {t:.6f}\n")
-                f_lr.write(
-                    " ".join(f"{v.real:.10e} {v.imag:.10e}" for v in ev) + f" {t:.6f}\n"
-                )
-            logger.info("otd t=%.4f: leading Re(eig Lr)=%.6f, sym=%.6f", t, ev[0].real, evs[0])
+            if evolved % opts.printstep == 0 or done >= nsteps:
+                lr_history.append((t, lr_np))
+                ev = np.sort_complex(np.linalg.eigvals(lr_np))[::-1]
+                evs = np.sort(np.linalg.eigvalsh(0.5 * (lr_np + lr_np.T)))[::-1]
+                if f_ls is not None:
+                    f_ls.write(" ".join(f"{v:.10e}" for v in evs) + f" {t:.6f}\n")
+                    f_lr.write(
+                        " ".join(f"{v.real:.10e} {v.imag:.10e}" for v in ev) + f" {t:.6f}\n"
+                    )
+                logger.info("otd t=%.4f: leading Re(eig Lr)=%.6f, sym=%.6f", t, ev[0].real, evs[0])
+            if outdir and opts.iostep and evolved % opts.iostep == 0:
+                io_counter += 1
+                outpost_otd_modes(mesh, perts, lr_np, outdir, counter=io_counter, time=t)
+            if outdir and opts.iorststep and evolved % opts.iorststep == 0:
+                rst_counter += 1
+                save_otd_restart(outdir, perts, base, counter=rst_counter)
     finally:
         if f_ls is not None:
             f_ls.close()

@@ -30,6 +30,14 @@ _SEM_MESH_AXES = {
     "bmd": -1, "bm2": -1, "binv": -1, "gidx": -1, "vmult": -1, "vmask": -1,
     "pmask": -1, "tmask": -1, "vmask_hat": None, "tmask_hat": None, "gfirst": None,
     "volume": None,
+    # face-pair exchange schedule (unstructured 2-D meshes): REPLICATED.
+    # The schedule indexes the [n, 4*nel] stacked face strips globally; the
+    # strips themselves are O(surface) data, so the partitioner's gather
+    # (face-strip all-gather) moves ~n/(n*n) ~ 1/n of a field per exchange —
+    # bounded by the collective-pattern test on the .re2 mesh. Element->chip
+    # locality comes from RCB element ordering (mesh_from_re2 partition=...).
+    "fp_pidx": None, "fp_flip": None, "fp_mask": None, "fp_vsib": None,
+    "eperm": None,
 }
 _FLOW_STATE_AXES = {
     "u": -1, "p": -1, "theta": -1, "ulag": -1, "nlag": -1, "tlag": -1,
@@ -67,7 +75,17 @@ def _shard_dataclass(obj, axes: dict, dmesh: Mesh):
 
 
 def shard_sem_mesh(mesh, dmesh: Mesh):
-    """Shard every SemMesh array along its element axis over 'e'."""
+    """Shard every SemMesh array along its element axis over 'e'.
+
+    The element count must be divisible by the device count (XLA shards
+    evenly); choose the mesh/partition accordingly — e.g.
+    mesh_from_re2(..., partition=ndev) with ndev | nel."""
+    ndev = int(np.prod(list(dmesh.shape.values())))
+    if mesh.nel % ndev != 0:
+        raise ValueError(
+            f"element count {mesh.nel} is not divisible by the device count "
+            f"{ndev}; pick a divisor device count or pad the mesh"
+        )
     return _shard_dataclass(mesh, _SEM_MESH_AXES, dmesh)
 
 

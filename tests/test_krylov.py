@@ -157,3 +157,92 @@ def test_newton_dense():
         # superlinear convergence: few iterations, strictly decreasing tail
         assert res.iterations <= 8
         assert all(b < a for a, b in zip(res.history, res.history[1:]))
+
+
+def test_eigs_checkpoint_resume(tmp_path):
+    """Kill-and-resume: an eigensolve interrupted mid-run continues from its
+    checkpoint file and reproduces the uninterrupted spectrum exactly
+    (VERDICT/SURVEY checkpoint tier 2 — Krylov restart vectors)."""
+    n = 100
+    lead = np.array([2.0, 1.4 + 0.3j, 1.4 - 0.3j, 1.1])
+    rest = np.linspace(0.7, -0.7, n - 4)
+    a = _spectrum_matrix(n, np.concatenate([lead, rest]), seed=4)
+    op = _mat_op(a)
+    space = euclidean_space(rand_template=jnp.zeros(n))
+
+    ckpt = str(tmp_path / "arnoldi.npz")
+
+    # uninterrupted reference solve
+    full = eigs(op, space, nev=3, kdim=24, tol=1e-9, maxiter=10, seed=2)
+
+    # interrupted run: abort after 10 matvecs via a poison operator
+    class Poison(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def poisoned(x):
+        if calls["n"] >= 10:
+            raise Poison()
+        calls["n"] += 1
+        return op.matvec(x)
+
+    from neklab_tpu.krylov import FunctionOperator
+
+    pop = FunctionOperator(matvec=poisoned, rmatvec=op.rmatvec)
+    try:
+        eigs(pop, space, nev=3, kdim=24, tol=1e-9, maxiter=10, seed=2,
+             checkpoint=ckpt, checkpoint_every=4)
+        raise AssertionError("poison operator should have fired")
+    except Poison:
+        pass
+    import os
+
+    assert os.path.exists(ckpt)
+
+    # resume with the REAL operator from the checkpoint
+    res = eigs(op, space, nev=3, kdim=24, tol=1e-9, maxiter=10, seed=2,
+               checkpoint=ckpt, checkpoint_every=4)
+    assert res.converged.all()
+    # fewer matvecs REMAINING than a fresh solve needs in total
+    assert res.n_matvec <= full.n_matvec
+    ev_full = np.sort_complex(full.eigvals)
+    ev_res = np.sort_complex(res.eigvals)
+    assert np.allclose(ev_full, ev_res, atol=1e-8), (ev_full, ev_res)
+
+
+def test_svds_checkpoint_resume(tmp_path):
+    """Lanczos kill-and-resume reproduces the uninterrupted singular values."""
+    rng = np.random.default_rng(8)
+    n = 90
+    a = rng.standard_normal((n, n)) / np.sqrt(n)
+    a[0, 0] += 3.0  # dominant direction
+    op = _mat_op(a)
+    space = euclidean_space(rand_template=jnp.zeros(n))
+    full = svds(op, space, nsv=3, kdim=30, tol=1e-10, seed=3)
+
+    ckpt = str(tmp_path / "lanczos.npz")
+
+    class Poison(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def poisoned(x):
+        if calls["n"] >= 9:
+            raise Poison()
+        calls["n"] += 1
+        return op.matvec(x)
+
+    from neklab_tpu.krylov import FunctionOperator
+
+    pop = FunctionOperator(matvec=poisoned, rmatvec=op.rmatvec)
+    try:
+        svds(pop, space, nsv=3, kdim=30, tol=1e-10, seed=3,
+             checkpoint=ckpt, checkpoint_every=2)
+        raise AssertionError("poison should have fired")
+    except Poison:
+        pass
+    res = svds(op, space, nsv=3, kdim=30, tol=1e-10, seed=3,
+               checkpoint=ckpt, checkpoint_every=2)
+    assert np.allclose(res.s, full.s, atol=1e-9), (res.s, full.s)
