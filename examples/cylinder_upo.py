@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--nel-r", type=int, default=7)
+    ap.add_argument("--nel-t", type=int, default=18)
+    ap.add_argument("--rout", type=float, default=15.0)
+    ap.add_argument("--order", type=int, default=5)
+    ap.add_argument("--dt", type=float, default=0.01)
+    ap.add_argument("--spin-chunks", type=int, default=400)
     args = ap.parse_args()
 
     import jax
@@ -54,9 +60,10 @@ def main():
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     tols = dict(vtol=1e-10, ptol=1e-9) if args.f64 else dict(vtol=3e-6, ptol=3e-6)
-    mesh = annulus_mesh(7, 18, r_in=0.5, r_out=15.0, order=5, grading=1.5,
+    mesh = annulus_mesh(args.nel_r, args.nel_t, r_in=0.5, r_out=args.rout,
+                        order=args.order, grading=1.5,
                         outer_bc="vO", shift=0.25, dtype=dtype)
-    dt = 0.01
+    dt = args.dt
     fc = FlowConfig(viscosity=1 / args.re, dt=dt, **tols)
     cfg = LinConfig(flow=fc)
     pc = build_e_preconditioner(mesh, dt / (11 / 6))
@@ -73,7 +80,7 @@ def main():
     # 1. into the limit cycle, tracking a wake probe
     xx = np.asarray(mesh.x[0]); yy = np.asarray(mesh.x[1])
     probe = np.unravel_index(np.argmin((xx - 2.0) ** 2 + (yy - 0.3) ** 2), xx.shape)
-    chunk, nchunks = 25, 400
+    chunk, nchunks = 25, args.spin_chunks
     trace = []
     t0 = time.time()
     for _ in range(nchunks):
@@ -120,9 +127,16 @@ def main():
 
     out = {
         "re": args.re,
+        "mesh": {"nel": mesh.nel, "order": args.order, "r_out": args.rout},
+        "dt": dt,
+        "period_guess_T0": period0,
         "period": float(nres.x["T"]),
         "newton_converged": bool(nres.converged),
+        "newton_residual": float(nres.residual_norm),
         "floquet_mus": [[m.real, m.imag] for m in mus],
+        "floquet_abs": [float(a) for a in np.abs(mus)],
+        "neutral_multiplier_dev": float(np.min(np.abs(np.abs(mus) - 1.0))),
+        "reference": "examples/cylinder/newton/Re180_periodic_orbit/1cyl.usr:24 (T0=5.158)",
     }
     print(json.dumps(out), flush=True)
     if args.out:

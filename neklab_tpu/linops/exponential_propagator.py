@@ -52,7 +52,9 @@ class ExponentialPropagator(LinearOperator):
         )
         self.tau = float(tau)
         if dt is None:
-            dt = cfl_dt(mesh, base_u, cfl=cfl)
+            from ..utils.timestep import clamp_cfl
+
+            dt = cfl_dt(mesh, base_u, cfl=clamp_cfl(cfl))
         self.dt, self.nsteps = horizon_steps(tau, dt)
         # rebuild the (hashable, static) config with the derived dt
         import dataclasses

@@ -21,7 +21,12 @@ from ..ops.geometry import GeomFactors
 from ..utils.pytrees import pytree_dataclass
 
 
-@pytree_dataclass(meta_fields=("basis", "ndim", "nel", "nglob", "bc", "fp_nvert"))
+@pytree_dataclass(
+    meta_fields=(
+        "basis", "ndim", "nel", "nglob", "bc", "fp_nvert",
+        "fp_roll_off", "vs_roll_off",
+    )
+)
 class SemMesh:
     basis: Basis
     ndim: int
@@ -63,6 +68,19 @@ class SemMesh:
     # element permutation when the builder reordered elements for partition
     # locality (RCB): arr_here = arr_file_order[..., eperm]. None = identity.
     eperm: jnp.ndarray | None = None  # int32 [nel]
+    # roll-decomposed exchange plans (see _roll_plan): mapped-multiblock
+    # meshes pair >90% of faces at a few constant index offsets, so the
+    # face/vertex gathers (the TPU dssum bottleneck: arbitrary gathers run
+    # ~50 cycles/index) become masked rolls XLA fuses into shifted reads,
+    # plus a tiny remainder gather/scatter. Offsets are STATIC (meta).
+    fp_roll_mask: jnp.ndarray | None = None  # [Ke, 4*nel]
+    fp_rem_dst: jnp.ndarray | None = None  # int32 [Re]
+    fp_rem_src: jnp.ndarray | None = None  # int32 [Re]
+    vs_roll_mask: jnp.ndarray | None = None  # [Kv, 4*nel]
+    vs_rem_dst: jnp.ndarray | None = None  # int32 [Rv]
+    vs_rem_src: jnp.ndarray | None = None  # int32 [Rv]
+    fp_roll_off: tuple = ()  # static: face-exchange roll offsets [Ke]
+    vs_roll_off: tuple = ()  # static: vertex-sum roll offsets [Kv]
 
     @property
     def npts(self) -> int:
@@ -147,8 +165,34 @@ def build_mesh(
 
     structured = any(k == "__struct__" for k, _ in bc)
     fp = None
+    fp_plan = vs_plan = None
     if ndim == 2 and not structured:
         fp = _facepair_schedule(gidx)
+        if fp is not None:
+            nface = 4 * nel
+            fp_plan = _roll_plan(np.asarray(fp[0]), nface)
+            # vertex-sum plan: merge the per-sibling-row maps (the sum over
+            # rows becomes one accumulation of masked rolls + a scatter-ADD
+            # remainder; pad index nface is skipped by _roll_plan)
+            vsib = np.asarray(fp[3])
+            acc: dict[int, np.ndarray] = {}
+            rdst, rsrc = [], []
+            for r in range(vsib.shape[0]):
+                offs, masks, rd, rs = _roll_plan(vsib[r], nface)
+                for k, m in zip(offs, masks):
+                    acc[k] = acc.get(k, 0.0) + m
+                rdst.append(rd)
+                rsrc.append(rs)
+            vs_off = tuple(sorted(acc))
+            vs_masks = (
+                np.stack([acc[k] for k in vs_off]) if vs_off else np.zeros((0, nface))
+            )
+            vs_plan = (
+                vs_off,
+                vs_masks,
+                np.concatenate(rdst) if rdst else np.zeros(0, np.int32),
+                np.concatenate(rsrc) if rsrc else np.zeros(0, np.int32),
+            )
     return SemMesh(
         basis=basis,
         ndim=ndim,
@@ -180,6 +224,14 @@ def build_mesh(
         fp_vsib=jnp.asarray(fp[3]) if fp else None,
         fp_nvert=fp[4] if fp else 0,
         eperm=jnp.asarray(np.asarray(eperm, np.int32)) if eperm is not None else None,
+        fp_roll_mask=cast(fp_plan[1]) if fp_plan else None,
+        fp_rem_dst=jnp.asarray(fp_plan[2]) if fp_plan else None,
+        fp_rem_src=jnp.asarray(fp_plan[3]) if fp_plan else None,
+        vs_roll_mask=cast(vs_plan[1]) if vs_plan else None,
+        vs_rem_dst=jnp.asarray(vs_plan[2]) if vs_plan else None,
+        vs_rem_src=jnp.asarray(vs_plan[3]) if vs_plan else None,
+        fp_roll_off=fp_plan[0] if fp_plan else (),
+        vs_roll_off=vs_plan[0] if vs_plan else (),
     )
 
 
@@ -190,6 +242,37 @@ def from_file_order(mesh: SemMesh, arr):
     if mesh.eperm is None:
         return arr
     return jnp.asarray(np.asarray(arr)[..., np.asarray(mesh.eperm)])
+
+
+def _roll_plan(idx: np.ndarray, length: int, kmax: int = 32, min_count: int = 8):
+    """Decompose the index map out[j] = src[idx[j]] (positions with
+    idx[j] >= length are ignored — padding) into K constant-offset rolls
+    plus a remainder:
+
+        out = sum_k mask_k * roll(src, -d_k)  ;  out[rem_dst] = src[rem_src]
+
+    Mapped-multiblock meshes concentrate >90% of face/vertex partners on a
+    handful of offsets (measured: 20 offsets cover 98% of the reference
+    1cyl mesh), so this turns the TPU-hostile arbitrary gather into fused
+    shifted reads. Returns (offsets tuple, masks [K, length] f64,
+    rem_dst int32, rem_src int32)."""
+    idx = np.asarray(idx)
+    j = np.arange(len(idx))
+    valid = idx < length
+    d = idx - j
+    vals, counts = np.unique(d[valid], return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    sel = [int(vals[i]) for i in order[:kmax] if counts[i] >= min_count]
+    masks = []
+    covered = np.zeros(len(idx), bool)
+    for k in sorted(sel):
+        m = valid & (d == k)
+        masks.append(m.astype(np.float64))
+        covered |= m
+    rem = np.nonzero(valid & ~covered)[0]
+    offs = tuple(sorted(sel))
+    mask_arr = np.stack(masks) if masks else np.zeros((0, len(idx)))
+    return offs, mask_arr, rem.astype(np.int32), idx[rem].astype(np.int32)
 
 
 def _facepair_schedule(gidx: np.ndarray):

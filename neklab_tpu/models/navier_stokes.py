@@ -22,8 +22,11 @@ reference's lagged `v*rst` fields (neklab_vectors.f90:30-35).
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Callable
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -373,4 +376,56 @@ def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=No
         return s, None
 
     state, _ = lax.scan(body, state, None, length=remaining)
+    return state
+
+
+def advance_adaptive(
+    mesh: SemMesh,
+    cfg: FlowConfig,
+    state: FlowState,
+    endtime: float,
+    cfl: float = 0.4,
+    ub=None,
+    tb=None,
+    pc_e=None,
+    chunk: int = 25,
+    max_growth: float = 1.2,
+) -> FlowState:
+    """Variable-dt nonlinear advance to `endtime` (DNS spin-up).
+
+    The reference's variable-dt path (setup_nek, neklab_nek_setup.f90:159-191):
+    dt is re-derived from the target CFL against the CURRENT velocity field,
+    with setdt's <=20% growth clamp per re-derivation; the final chunk lands
+    on endtime exactly. dt enters the jitted chunk as a TRACED scalar, so the
+    whole run is ONE compiled program per chunk length (no recompiles as dt
+    adapts). Notes: (1) the BDF history is carried across dt changes with
+    FIXED coefficients (the <=20% growth clamp keeps the local inconsistency
+    at O(ddt*dt^2), fine for spin-up; analysis runs use fixed dt); (2) the
+    Jacobi diagonals are rebuilt per chunk but any supplied preconditioner
+    is reused — solves stay exact (tolerance-based)."""
+    from ..utils.timestep import cfl_dt, clamp_cfl
+
+    cfl = clamp_cfl(cfl)
+    t = float(state.time)
+    dt_old = None
+    while t < endtime - 1e-12:
+        dt_new = cfl_dt(mesh, np.asarray(state.u), cfl=cfl)
+        if dt_old is not None:
+            dt_new = min(dt_new, max_growth * dt_old)
+        nleft = max(1, math.ceil((endtime - t) / dt_new - 1e-12))
+        k = min(chunk, nleft)
+        if nleft <= chunk:
+            dt_new = (endtime - t) / nleft  # hit endtime exactly
+        g0 = _BDF[min(cfg.torder, 3)][0]
+        vdiag = helmholtz_diag(mesh, cfg.viscosity, cfg.rho * g0 / dt_new, mesh.vmask)
+        tdiags = [
+            helmholtz_diag(mesh, cfg.conductivity[i], g0 / dt_new, mesh.tmask)
+            for i in range(cfg.nscal)
+        ] or None
+        state = advance(
+            mesh, cfg, state, k, ub=ub, tb=tb, pc_e=pc_e, vdiag=vdiag, tdiags=tdiags,
+            ramp=(dt_old is None), dt=jnp.asarray(dt_new, mesh.bm1.dtype),
+        )
+        dt_old = dt_new
+        t = float(state.time)
     return state

@@ -37,6 +37,8 @@ _SEM_MESH_AXES = {
     # bounded by the collective-pattern test on the .re2 mesh. Element->chip
     # locality comes from RCB element ordering (mesh_from_re2 partition=...).
     "fp_pidx": None, "fp_flip": None, "fp_mask": None, "fp_vsib": None,
+    "fp_roll_mask": None, "fp_rem_dst": None, "fp_rem_src": None,
+    "vs_roll_mask": None, "vs_rem_dst": None, "vs_rem_src": None,
     "eperm": None,
 }
 _FLOW_STATE_AXES = {

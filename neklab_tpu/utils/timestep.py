@@ -9,11 +9,24 @@ nsteps = ceil(tau / dt_cfl) so that fintim = nsteps * dt hits tau EXACTLY
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
 
 from ..mesh.core import SemMesh
+
+logger = logging.getLogger("neklab_tpu.timestep")
+
+
+def clamp_cfl(cfl: float, limit: float = 0.5) -> float:
+    """Clamp-and-warn on the target CFL — the reference's input-validation
+    style (neklab_nek_setup.f90:147-153: invalid/over-limit targets are
+    forced to 0.5 with a logged warning, not an abort)."""
+    if cfl <= 0.0 or cfl > limit:
+        logger.warning("invalid target CFL %.4f; forcing it to %.2f", cfl, limit)
+        return limit
+    return cfl
 
 
 def min_grid_spacing(mesh: SemMesh) -> np.ndarray:

@@ -193,3 +193,48 @@ def test_3d_forced_channel_steady():
     y = mesh.x[1]
     ue = jnp.stack([1 - y**2, 0 * y, 0 * y])
     assert _rel_l2(mesh, st.u, ue) < 1e-6
+
+
+def test_advance_adaptive_variable_dt():
+    """Variable-dt spin-up (setup_nek's variable-dt path,
+    neklab_nek_setup.f90:159-191): hits endtime exactly, clamps per-chunk dt
+    growth, and lands on the same steady state as the fixed-dt run."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from neklab_tpu.mesh.box import box_mesh
+    from neklab_tpu.models.navier_stokes import (
+        FlowConfig, advance, advance_adaptive, initial_state,
+    )
+
+    mesh = box_mesh(
+        (3, 4), ((0.0, 2 * np.pi), (-1.0, 1.0)),
+        {"x-": "P", "x+": "P", "y-": "W", "y+": "W"}, order=4, dtype=jnp.float64,
+    )
+    nu = 0.05
+    fc = FlowConfig(
+        viscosity=nu, dt=0.02, vtol=1e-12, ptol=1e-12,
+        forcing_fn=lambda m, t, u, th: jnp.stack(
+            [2 * nu * jnp.ones_like(m.x[0]), jnp.zeros_like(m.x[0])]
+        ),
+    )
+    y = mesh.x[1]
+    st0 = initial_state(mesh, fc, u=mesh.vmask * jnp.stack([0.5 * (1 - y**2), 0 * y]))
+
+    st = advance_adaptive(mesh, fc, st0, endtime=6.0, cfl=0.4, chunk=20)
+    assert abs(float(st.time) - 6.0) < 1e-10
+    # forced Poiseuille: u -> (1 - y^2); after t=6 the slowest mode has
+    # decayed by exp(-nu (pi/2)^2 * 6) ~ 0.48 of the initial defect of 0.5
+    exact = 1 - np.asarray(mesh.x[1]) ** 2
+    err = np.abs(np.asarray(st.u[0]) - exact).max()
+    ref = advance(mesh, fc, st0, 300)  # fixed dt 0.02 to the same time
+    err_ref = np.abs(np.asarray(ref.u[0]) - exact).max()
+    assert abs(err - err_ref) < 0.02 * max(err_ref, 1e-6), (err, err_ref)
+
+
+def test_clamp_cfl_warns():
+    from neklab_tpu.utils.timestep import clamp_cfl
+
+    assert clamp_cfl(0.4) == 0.4
+    assert clamp_cfl(0.9) == 0.5
+    assert clamp_cfl(-1.0) == 0.5
