@@ -7,7 +7,15 @@ T0 = 5.158, BASELINE.md). Pipeline:
   3. Newton on the (X, T) UPO system (exact jvp monodromy + phase condition);
   4. Floquet multipliers of the converged orbit via Arnoldi on the monodromy.
 
-Usage: python examples/cylinder_upo.py [--re 100] [--platform cpu] [--f64]
+Defaults are the REFERENCE conditions: Re=180, T0 ~ 5.158
+(/root/reference/examples/cylinder/newton/Re180_periodic_orbit/1cyl.usr:24).
+Parity recipe (f32 TPU Newton, then f64 CPU refinement to tol <= 1e-6):
+
+  python examples/cylinder_upo.py --save-state upo_f32.npz --out UPO_f32.json
+  python examples/cylinder_upo.py --platform cpu --f64 --init-state upo_f32.npz \
+      --out UPO_r03.json
+
+Usage: python examples/cylinder_upo.py [--re 180] [--platform cpu] [--f64]
 """
 
 import argparse
@@ -21,10 +29,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--re", type=float, default=100.0)
+    ap.add_argument("--re", type=float, default=180.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-state", default=None,
+                    help="save the converged orbit (u, p, T) as .npz")
+    ap.add_argument("--init-state", default=None,
+                    help="start Newton from a saved orbit (skips the DNS "
+                         "spin-up and period estimation) — the f32->f64 "
+                         "refinement path")
     ap.add_argument("--nel-r", type=int, default=7)
     ap.add_argument("--nel-t", type=int, default=18)
     ap.add_argument("--rout", type=float, default=15.0)
@@ -77,34 +91,43 @@ def main():
     u0 = jnp.stack([ramp, kick])
     st = initial_state(mesh, fc, u=mesh.vmask * u0 + (1 - mesh.vmask) * ub)
 
-    # 1. into the limit cycle, tracking a wake probe
-    xx = np.asarray(mesh.x[0]); yy = np.asarray(mesh.x[1])
-    probe = np.unravel_index(np.argmin((xx - 2.0) ** 2 + (yy - 0.3) ** 2), xx.shape)
-    chunk, nchunks = 25, args.spin_chunks
-    trace = []
-    t0 = time.time()
-    for _ in range(nchunks):
-        st = advance(mesh, fc, st, chunk, ub=ub, pc_e=pc)
-        trace.append(float(st.u[1][probe]))
-    print(f"DNS to t={float(st.time):.1f} in {time.time()-t0:.0f}s", flush=True)
+    if args.init_state:
+        # resume from a previously converged (e.g. f32) orbit: skip spin-up
+        with np.load(args.init_state) as z:
+            u_init = jnp.asarray(z["u"], dtype)
+            period0 = float(z["T"])
+        print(f"init from {args.init_state}: T0 = {period0:.5f}", flush=True)
+        x0_u = u_init
+    else:
+        # 1. into the limit cycle, tracking a wake probe
+        xx = np.asarray(mesh.x[0]); yy = np.asarray(mesh.x[1])
+        probe = np.unravel_index(np.argmin((xx - 2.0) ** 2 + (yy - 0.3) ** 2), xx.shape)
+        chunk, nchunks = 25, args.spin_chunks
+        trace = []
+        t0 = time.time()
+        for _ in range(nchunks):
+            st = advance(mesh, fc, st, chunk, ub=ub, pc_e=pc)
+            trace.append(float(st.u[1][probe]))
+        print(f"DNS to t={float(st.time):.1f} in {time.time()-t0:.0f}s", flush=True)
 
-    # 2. period from the last zero-up-crossings of the probe signal
-    sig = np.array(trace) - np.mean(trace[-120:])
-    ts = np.arange(1, nchunks + 1) * chunk * dt
-    ups = [
-        ts[i] - sig[i] * (ts[i + 1] - ts[i]) / (sig[i + 1] - sig[i])
-        for i in range(len(sig) - 1)
-        if sig[i] < 0 <= sig[i + 1]
-    ]
-    if len(ups) < 3:
-        raise SystemExit("no shedding detected — increase DNS time or the kick")
-    period0 = float(np.mean(np.diff(ups[-4:])))
-    print(f"estimated period T0 = {period0:.4f}", flush=True)
+        # 2. period from the last zero-up-crossings of the probe signal
+        sig = np.array(trace) - np.mean(trace[-120:])
+        ts = np.arange(1, nchunks + 1) * chunk * dt
+        ups = [
+            ts[i] - sig[i] * (ts[i + 1] - ts[i]) / (sig[i + 1] - sig[i])
+            for i in range(len(sig) - 1)
+            if sig[i] < 0 <= sig[i + 1]
+        ]
+        if len(ups) < 3:
+            raise SystemExit("no shedding detected — increase DNS time or the kick")
+        period0 = float(np.mean(np.diff(ups[-4:])))
+        print(f"estimated period T0 = {period0:.4f}", flush=True)
+        x0_u = st.u
 
     # 3. Newton on the UPO system
     sysm = PeriodicOrbitSystem(mesh, cfg, t_guess=period0, ub=ub)
     space = ext_flow_vector_space(mesh, 0)
-    x0 = ext_flow_vector(mesh, 0, u=st.u, T=period0)
+    x0 = ext_flow_vector(mesh, 0, u=x0_u, T=period0)
     newton_tol = 1e-7 if args.f64 else 3e-4
     t0 = time.time()
     nres = newton_fixed_point_iteration(sysm, x0, space, tol=newton_tol, maxiter=20, gmres_kdim=40)
@@ -113,6 +136,9 @@ def main():
         f"T={float(nres.x['T']):.5f} ({time.time()-t0:.0f}s)",
         flush=True,
     )
+    if args.save_state:
+        np.savez(args.save_state, u=np.asarray(nres.x["u"]), T=float(nres.x["T"]))
+        print(f"saved orbit to {args.save_state}", flush=True)
 
     # 4. Floquet multipliers of the orbit
     from neklab_tpu import flow_vector_space

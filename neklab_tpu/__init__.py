@@ -29,6 +29,7 @@ from .krylov import (
     dynamic_tol,
     eigs,
     euclidean_space,
+    fgmres,
     gmres,
     newton,
     svds,

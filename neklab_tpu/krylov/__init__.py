@@ -18,7 +18,7 @@ from .space import (
 from .linop import AdjointOperator, FunctionOperator, LinearOperator, NonlinearSystem
 from .eigs import EigsResult, eigs
 from .svd import SvdsResult, svds
-from .gmres import GmresResult, cg, gmres
+from .gmres import GmresResult, cg, fgmres, gmres
 from .newton import NewtonResult, constant_tol, dynamic_tol, newton
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "svds",
     "GmresResult",
     "cg",
+    "fgmres",
     "gmres",
     "NewtonResult",
     "constant_tol",

@@ -54,10 +54,15 @@ def _expand_krylov(
     j1: int,
     breakdown_tol: float = 1e-12,
     save_cb: Callable | None = None,
-) -> int:
+    conv_cb: Callable | None = None,
+) -> tuple[int, int]:
     """Arnoldi expansion columns j0..j1-1 (V has j0+1 filled slots on entry).
-    Returns the number of matvecs performed. save_cb(kfilled, n_mv_so_far)
-    is invoked after each completed column (checkpoint hook)."""
+    Returns (number of matvecs performed, columns now valid). save_cb(kfilled,
+    n_mv_so_far) is invoked after each completed column (checkpoint hook).
+    conv_cb(m) may return True to stop the expansion early once the projected
+    problem of size m is converged — this is what saves the tail matvecs of a
+    kdim=512 cycle when the wanted pairs converge at m << kdim (LightKrylov /
+    ARPACK-style early termination)."""
     import jax
 
     n_mv = 0
@@ -72,17 +77,21 @@ def _expand_krylov(
             logger.info("Arnoldi breakdown at column %d (beta=%.3e)", j, beta)
             if space.rand_fn is None:
                 V.append(w)
-                return n_mv
+                return n_mv, j + 1
             w = space.rand(jax.random.PRNGKey(977 + j))
             w, _ = V.orthogonalize(w, passes=2)
             w, _ = space.normalize(w)
         V.append(w)
         if save_cb is not None:
             save_cb(j + 1, n_mv)
-    return n_mv
+        if conv_cb is not None and j + 1 < j1 and conv_cb(j + 1):
+            logger.info("eigs: early expansion stop at m=%d (< kdim=%d)", j + 1, j1)
+            return n_mv, j + 1
+    return n_mv, j1
 
 
-def _save_krylov_state(path: str, V: KrylovBasis, H: np.ndarray, n_mv: int) -> None:
+def _save_krylov_state(path: str, V: KrylovBasis, H: np.ndarray, n_mv: int,
+                       fingerprint: str = "") -> None:
     """Atomic serialization of the running Arnoldi factorization — the
     reference's Krylov restart-vector tier (SURVEY section 5, checkpoint
     tier 2; neklab_analysis.f90:80-81,327-330). Invariant: H columns
@@ -96,16 +105,23 @@ def _save_krylov_state(path: str, V: KrylovBasis, H: np.ndarray, n_mv: int) -> N
     data["H"] = H
     data["vk"] = np.asarray(V.k)
     data["n_mv"] = np.asarray(n_mv)
+    data["fingerprint"] = np.asarray(fingerprint)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **data)
     os.replace(tmp, path)
 
 
-def _load_krylov_state(path: str, space: VectorSpace, template: Vector, kmax: int):
+def _load_krylov_state(path: str, space: VectorSpace, template: Vector, kmax: int,
+                       fingerprint: str = ""):
     """-> (V, H, n_mv) resuming a _save_krylov_state file."""
     import jax
 
     with np.load(path) as z:
+        if "fingerprint" in z and str(z["fingerprint"]) != fingerprint:
+            raise ValueError(
+                f"checkpoint {path} fingerprint {z['fingerprint']!s} != expected "
+                f"{fingerprint!r} (different solve — delete the stale file)"
+            )
         template_stack = jax.tree_util.tree_map(
             lambda l: jnp.zeros((kmax,) + l.shape, l.dtype), template
         )
@@ -149,20 +165,33 @@ def eigs(
     seed: int = 0,
     checkpoint: str | None = None,
     checkpoint_every: int = 8,
+    tag: str = "",
+    check_every: int = 8,
 ) -> EigsResult:
     """Largest-modulus eigenpairs of `op` by Krylov-Schur-restarted Arnoldi.
 
     maxiter counts restart cycles of dimension kdim. `callback(cycle, result)`
     is invoked after each cycle (the reference's write_intermediate hook).
 
+    check_every: test convergence of the projected problem every so many
+    Arnoldi columns DURING expansion and stop the cycle early once all nev
+    wanted pairs are converged (0 = only at kdim) — at kdim=512 with
+    O(10^3)-step matvecs this is the difference between paying for 512 and
+    for the ~m columns actually needed. Converged leading Schur blocks are
+    additionally LOCKED at each restart (their residual couplings zeroed) so
+    later cycles cannot un-converge them.
+
     checkpoint: path of a running Arnoldi-factorization checkpoint. If the
     file exists, the solve RESUMES from it (basis + H + matvec count); while
     running, the state is re-saved atomically every `checkpoint_every`
     Arnoldi columns and at every Krylov-Schur restart — so a long eigensolve
     (kdim x O(10^3)-step matvecs) killed mid-cycle loses at most
-    checkpoint_every matvecs. Reference: the intermediate-spectrum /
-    restart-basis tier (neklab_analysis.f90:80-81,327-330); this checkpoints
-    the full factorization instead, which is strictly stronger.
+    checkpoint_every matvecs. The file records a problem fingerprint
+    (kdim/nev/seed/`tag`) validated at resume, and is deleted on successful
+    return so a later solve can never silently resume stale state.
+    Reference: the intermediate-spectrum / restart-basis tier
+    (neklab_analysis.f90:80-81,327-330); this checkpoints the full
+    factorization instead, which is strictly stronger.
     """
     if adjoint:
         op = AdjointOperator(op)
@@ -176,9 +205,10 @@ def eigs(
     if nrm == 0:
         raise ValueError("zero start vector")
 
+    fp = f"eigs;kdim={kdim};nev={nev};which={which};seed={seed};tag={tag}"
     n_mv = 0
     if checkpoint is not None and os.path.exists(checkpoint):
-        V, H, n_mv = _load_krylov_state(checkpoint, space, v0, kdim + 1)
+        V, H, n_mv = _load_krylov_state(checkpoint, space, v0, kdim + 1, fingerprint=fp)
         k_active = V.k - 1
         logger.info(
             "eigs: resumed from %s (%d columns, %d matvecs so far)",
@@ -190,49 +220,65 @@ def eigs(
         H = np.zeros((kdim + 1, kdim))
         k_active = 0  # currently valid columns of H
 
+    def spectrum(m, H):
+        """Ritz values/vectors + residuals of the m-column factorization."""
+        S = H[:m, :m]
+        b = H[m, :m]
+        evals, evecs = np.linalg.eig(S)
+        res = np.abs(b @ evecs) / np.maximum(np.linalg.norm(evecs, axis=0), 1e-300)
+        order = np.argsort(-_sort_key(evals, which), kind="stable")
+        return evals[order], res[order], evecs[:, order]
+
     for cycle in range(maxiter):
         save_cb = None
         if checkpoint is not None:
             # close over THIS cycle's (V, H, n_mv): V is rebound at restarts
             def save_cb(kfilled, mv_in_expand, _V=V, _H=H, _mv=n_mv):
                 if checkpoint_every and kfilled % checkpoint_every == 0:
-                    _save_krylov_state(checkpoint, _V, _H, _mv + mv_in_expand)
+                    _save_krylov_state(checkpoint, _V, _H, _mv + mv_in_expand, fingerprint=fp)
 
-        n_mv += _expand_krylov(op, space, V, H, k_active, kdim, save_cb=save_cb)
-        m = kdim
-        S = H[:m, :m]
-        b = H[m, :m]
+        conv_cb = None
+        if check_every:
+            def conv_cb(m, _H=H):
+                if m % check_every or m <= max(nev, 2):
+                    return False
+                _, res_s, _ = spectrum(m, _H)
+                return bool(np.all(res_s[:nev] < tol))
 
-        evals, evecs = np.linalg.eig(S)
-        res = np.abs(b @ evecs) / np.maximum(np.linalg.norm(evecs, axis=0), 1e-300)
-        order = np.argsort(-_sort_key(evals, which), kind="stable")
-        evals_sorted = evals[order]
-        res_sorted = res[order]
+        mv, m = _expand_krylov(op, space, V, H, k_active, kdim,
+                               save_cb=save_cb, conv_cb=conv_cb)
+        n_mv += mv
+        evals_sorted, res_sorted, evecs_sorted = spectrum(m, H)
         conv = res_sorted[:nev] < tol
         result = EigsResult(
             eigvals=evals_sorted[:nev],
             residuals=res_sorted[:nev],
             basis=V,
-            eigvec_coeffs=evecs[:, order[:nev]],
+            eigvec_coeffs=evecs_sorted[:, :nev],
             n_matvec=n_mv,
             converged=conv,
         )
         if callback is not None:
             callback(cycle, result)
         logger.info(
-            "eigs cycle %d: %d/%d converged, worst residual %.3e",
+            "eigs cycle %d: m=%d, %d/%d converged, worst residual %.3e",
             cycle,
+            m,
             int(conv.sum()),
             nev,
             float(res_sorted[:nev].max()),
         )
         if conv.all() or cycle == maxiter - 1:
+            if checkpoint is not None and os.path.exists(checkpoint):
+                os.remove(checkpoint)
             return result
 
-        # ---- Krylov-Schur restart ----
-        p = min(max(2 * nev, nev + 8), kdim - 2)
-        keys = _sort_key(evals, which)
-        thresh = np.sort(keys)[::-1][p - 1]
+        # ---- Krylov-Schur restart (with locking of converged blocks) ----
+        S = H[:m, :m]
+        b = H[m, :m]
+        p = min(max(2 * nev, nev + 8), m - 2)
+        keys = _sort_key(evals_sorted, which)
+        thresh = keys[p - 1]
 
         if which == "lm":
             sel = lambda re, im: np.hypot(re, im) >= thresh * (1 - 1e-12)
@@ -251,11 +297,26 @@ def eigs(
         V.append(res_vec)
         bnew = b @ Q[:, :p_eff]
 
+        # lock the leading converged invariant block: the largest prefix (cut
+        # only at 2x2-block boundaries of the real Schur form) whose coupling
+        # entries are all below tol. Zeroing commits an O(tol) perturbation
+        # and deflates those pairs exactly for all later cycles.
+        k_lock = 0
+        for i in range(p_eff):
+            if abs(bnew[i]) >= tol:
+                break
+            if i + 1 >= p_eff or abs(T[i + 1, i]) == 0.0:
+                k_lock = i + 1
+        if k_lock:
+            bnew = bnew.copy()
+            bnew[:k_lock] = 0.0
+            logger.info("eigs: locked %d converged Schur columns", k_lock)
+
         H = np.zeros((kdim + 1, kdim))
         H[:p_eff, :p_eff] = T[:p_eff, :p_eff]
         H[p_eff, :p_eff] = bnew
         k_active = p_eff
         if checkpoint is not None:
-            _save_krylov_state(checkpoint, V, H, n_mv)
+            _save_krylov_state(checkpoint, V, H, n_mv, fingerprint=fp)
 
     raise RuntimeError("unreachable")

@@ -101,6 +101,86 @@ def gmres(
     return GmresResult(x=x, residual=res, n_matvec=n_mv, converged=False, n_restart=max_restarts)
 
 
+def fgmres(
+    op: LinearOperator,
+    b: Vector,
+    space: VectorSpace,
+    precond=None,
+    x0: Vector | None = None,
+    kdim: int = 64,
+    rtol: float = 1e-6,
+    atol: float = 1e-12,
+    max_restarts: int = 10,
+    adjoint: bool = False,
+) -> GmresResult:
+    """Flexible GMRES (Saad): right-preconditioned with a preconditioner that
+    may CHANGE between iterations (e.g. an inner iterative solve), so the
+    preconditioned directions Z_j = M_j^{-1} V_j are stored alongside the
+    Krylov basis and the update is x += Z y.
+
+    precond: callable v -> M^{-1} v (possibly nonlinear/iteration-varying);
+    None reduces to plain GMRES. Reference parity: LightKrylov `fgmres`,
+    re-exported by the facade and imported by
+    /root/reference/src/linops/resolvent.f90:3.
+    """
+    if precond is None:
+        precond = lambda v: v
+    apply = (lambda v: op.rmatvec(v)) if adjoint else (lambda v: op.matvec(v))
+
+    bnorm = space.norm(b)
+    target = max(rtol * bnorm, atol)
+    x = x0
+    n_mv = 0
+    res = bnorm
+
+    for restart in range(max_restarts):
+        if x is None:
+            r = b
+        else:
+            ax = apply(x)
+            n_mv += 1
+            r = tree_axpby(1.0, b, -1.0, ax)
+        beta = space.norm(r)
+        if beta <= target:
+            return GmresResult(
+                x=x if x is not None else tree_scale(0.0, b),
+                residual=beta, n_matvec=n_mv, converged=True, n_restart=restart,
+            )
+        v1 = tree_scale(1.0 / beta, r)
+        V = KrylovBasis(space, v1, kdim + 1)
+        V.append(v1)
+        Z = KrylovBasis(space, v1, kdim)
+        H = np.zeros((kdim + 1, kdim))
+        ym = None
+        m_used = 0
+        res = beta
+        for j in range(kdim):
+            z = precond(V[j])
+            Z.append(z)
+            w = apply(z)
+            n_mv += 1
+            w, h = V.orthogonalize(w, passes=2)
+            w, hnext = space.normalize(w)
+            H[: j + 1, j] = h
+            H[j + 1, j] = hnext
+            V.append(w)
+            m_used = j + 1
+            e1 = np.zeros(j + 2)
+            e1[0] = beta
+            ym, *_ = np.linalg.lstsq(H[: j + 2, : j + 1], e1, rcond=None)
+            res = float(np.linalg.norm(H[: j + 2, : j + 1] @ ym - e1))
+            if res <= target or hnext < 1e-14:
+                break
+        sub = KrylovBasis(space, None, Z.kmax, _stack=Z.stack, _k=m_used)
+        upd = sub.lincomb(ym[:m_used])
+        x = upd if x is None else tree_axpby(1.0, x, 1.0, upd)
+        logger.info("fgmres restart %d: residual %.3e (target %.3e)", restart, res, target)
+        if res <= target:
+            return GmresResult(x=x, residual=res, n_matvec=n_mv, converged=True, n_restart=restart)
+
+    return GmresResult(x=x, residual=res, n_matvec=n_mv, converged=False, n_restart=max_restarts)
+
+
 def cg(
     op: LinearOperator,
     b: Vector,

@@ -48,7 +48,7 @@ class SvdsResult:
         return sub.lincomb_many(self.v_coeffs)
 
 
-def _save_lanczos_state(path, U, V, alphas, betas, j, n_mv):
+def _save_lanczos_state(path, U, V, alphas, betas, j, n_mv, fingerprint=""):
     """Atomic Lanczos-bidiagonalization checkpoint (both bases + couplings) —
     SURVEY section 5 checkpoint tier 2 for the kdim=512 transient-growth
     runs (neklab_analysis.f90:136)."""
@@ -59,23 +59,36 @@ def _save_lanczos_state(path, U, V, alphas, betas, j, n_mv):
     data = {f"u_{i}": np.asarray(l) for i, l in enumerate(jax.tree_util.tree_leaves(U.stack))}
     data.update({f"v_{i}": np.asarray(l) for i, l in enumerate(jax.tree_util.tree_leaves(V.stack))})
     data.update(alphas=alphas, betas=betas, j=np.asarray(j), n_mv=np.asarray(n_mv),
-                uk=np.asarray(U.k), vk=np.asarray(V.k))
+                uk=np.asarray(U.k), vk=np.asarray(V.k),
+                fingerprint=np.asarray(fingerprint))
     tmp = path + ".tmp.npz"
     np.savez(tmp, **data)
     os.replace(tmp, path)
 
 
-def _load_lanczos_state(path, space, template, kdim):
+def _load_lanczos_state(path, space, template, kdim, fingerprint=""):
     import jax
     import jax.numpy as jnp
 
     with np.load(path) as z:
+        if "fingerprint" in z and str(z["fingerprint"]) != fingerprint:
+            raise ValueError(
+                f"checkpoint {path} fingerprint {z['fingerprint']!s} != expected "
+                f"{fingerprint!r} (different solve — delete the stale file)"
+            )
         tstack = jax.tree_util.tree_map(
             lambda l: jnp.zeros((kdim + 1,) + l.shape, l.dtype), template
         )
         leaves, treedef = jax.tree_util.tree_flatten(tstack)
-        u_leaves = [jnp.asarray(z[f"u_{i}"], l.dtype) for i, l in enumerate(leaves)]
-        v_leaves = [jnp.asarray(z[f"v_{i}"], l.dtype) for i, l in enumerate(leaves)]
+        u_leaves, v_leaves = [], []
+        for i, l in enumerate(leaves):
+            for arr, out in ((z[f"u_{i}"], u_leaves), (z[f"v_{i}"], v_leaves)):
+                if arr.shape != l.shape:
+                    raise ValueError(
+                        f"checkpoint leaf {i} shape {arr.shape} != expected {l.shape} "
+                        "(kdim or mesh changed?)"
+                    )
+                out.append(jnp.asarray(arr, l.dtype))
         U = KrylovBasis(space, None, kdim + 1,
                         _stack=jax.tree_util.tree_unflatten(treedef, u_leaves), _k=int(z["uk"]))
         V = KrylovBasis(space, None, kdim + 1,
@@ -93,11 +106,15 @@ def svds(
     seed: int = 0,
     checkpoint: str | None = None,
     checkpoint_every: int = 4,
+    tag: str = "",
 ) -> SvdsResult:
     """Leading nsv singular triplets of `op` via Lanczos bidiagonalization.
 
     checkpoint: path for kill-and-resume state (saved atomically every
-    `checkpoint_every` Lanczos iterations; resumed when the file exists)."""
+    `checkpoint_every` Lanczos iterations; resumed when the file exists, and
+    deleted on successful completion so a later solve never silently resumes
+    stale state). `tag` identifies the operator/problem in the checkpoint
+    fingerprint (e.g. 'bfs_tau18')."""
     import os
 
     import jax
@@ -106,6 +123,7 @@ def svds(
         v0 = space.rand(jax.random.PRNGKey(seed))
     v, _ = space.normalize(v0)
 
+    fp = f"svds;kdim={kdim};nsv={nsv};seed={seed};tag={tag}"
     V = KrylovBasis(space, v, kdim + 1)
     V.append(v)
     U: KrylovBasis | None = None
@@ -114,11 +132,17 @@ def svds(
     n_mv = 0
     j0 = 0
     if checkpoint is not None and os.path.exists(checkpoint):
-        U, V, alphas_l, betas_l, j0, n_mv = _load_lanczos_state(checkpoint, space, v, kdim)
+        U, V, alphas_l, betas_l, j0, n_mv = _load_lanczos_state(
+            checkpoint, space, v, kdim, fingerprint=fp)
         m = min(len(alphas_l), kdim)
         alphas[:m] = alphas_l[:m]
         betas[:m] = betas_l[:m]
         logger.info("svds: resumed from %s (j=%d, %d matvecs)", checkpoint, j0, n_mv)
+
+    def done(result):
+        if checkpoint is not None and os.path.exists(checkpoint):
+            os.remove(checkpoint)
+        return result
 
     for j in range(j0, kdim):
         u = op.matvec(V[j])
@@ -138,7 +162,7 @@ def svds(
         V.append(w)
 
         if checkpoint is not None and checkpoint_every and (j + 1) % checkpoint_every == 0:
-            _save_lanczos_state(checkpoint, U, V, alphas, betas, j + 1, n_mv)
+            _save_lanczos_state(checkpoint, U, V, alphas, betas, j + 1, n_mv, fingerprint=fp)
 
         if j + 1 >= max(nsv, 2):
             B = _bidiag(alphas[: j + 1], betas[:j])
@@ -146,9 +170,9 @@ def svds(
             res = betas[j] * np.abs(ub[-1, :nsv])
             if np.all(res[: min(nsv, len(s))] < tol * max(s[0], 1e-30)):
                 logger.info("svds converged at m=%d", j + 1)
-                return _finalize(U, V, alphas[: j + 1], betas[: j + 1], nsv, n_mv)
+                return done(_finalize(U, V, alphas[: j + 1], betas[: j + 1], nsv, n_mv))
 
-    return _finalize(U, V, alphas, betas, nsv, n_mv)
+    return done(_finalize(U, V, alphas, betas, nsv, n_mv))
 
 
 def _bidiag(alphas: np.ndarray, betas: np.ndarray) -> np.ndarray:

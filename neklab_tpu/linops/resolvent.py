@@ -122,6 +122,7 @@ class Resolvent(LinearOperator):
 
         self.space = flow_vector_space(mesh, cfg.nscal)
         self._adjM = None
+        self._adjQ = None
         self._transposes: dict = {}
 
     # -- linear pieces -------------------------------------------------------
@@ -216,13 +217,16 @@ class Resolvent(LinearOperator):
 
     def rmatvec(self, g: dict) -> dict:
         # R* g = G* S* (g_re - Qh* g_im) - Qf* g_im
-        mesh = self.mesh
-        # Qh* (adjoint quarter-period propagator)
-        adjQ = make_adjoint_propagator(
-            self.mesh, self.cfg, self.base_u, self.base_theta, self.nq,
-            pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
-        )
-        qh_gim_u, qh_gim_t = adjQ(g["im"]["u"], g["im"]["theta"])
+        # Qh* (adjoint quarter-period propagator) is CACHED: svds hits
+        # rmatvec kdim times and re-running the linear_transpose trace each
+        # call would re-pay propagator tracing every iteration (round-2
+        # VERDICT weak #5).
+        if self._adjQ is None:
+            self._adjQ = make_adjoint_propagator(
+                self.mesh, self.cfg, self.base_u, self.base_theta, self.nq,
+                pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
+            )
+        qh_gim_u, qh_gim_t = self._adjQ(g["im"]["u"], g["im"]["theta"])
         rhs = {
             "u": g["re"]["u"] - qh_gim_u,
             "theta": g["re"]["theta"] - qh_gim_t,

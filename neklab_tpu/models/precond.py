@@ -16,6 +16,16 @@ SURVEY section 2.2 and hard part 1). TPU-native equivalent, built once per
     analog (every chip solves the tiny coarse problem redundantly).
 
 Cuts E-solve CG iteration counts by one to two orders of magnitude.
+
+Scalability: the dense coarse inverse is O(nel^2) memory, so above
+`coarse_max_dense` elements (default 4096) the coarse space automatically
+switches from per-ELEMENT to per-AGGREGATE constants: elements are clustered
+by recursive coordinate bisection into <= coarse_max_dense aggregates, the
+aggregate operator E_a = R_a E R_a^T is probed with the same distance-3
+coloring at aggregate granularity, and the apply becomes
+segment-sum -> dense [nagg, nagg] matmul -> gather. Memory is then bounded by
+coarse_max_dense^2 regardless of element count (the role of Nek's semg_xxt
+hierarchy, SURVEY 2.2 hard part 1).
 """
 
 from __future__ import annotations
@@ -71,23 +81,39 @@ def _square_adjacency(adj: list[set[int]]) -> list[set[int]]:
 
 @pytree_dataclass
 class ETwoLevel:
-    """Additive two-level preconditioner data (a pytree of arrays)."""
+    """Additive two-level preconditioner data (a pytree of arrays).
+
+    agg_of_el is None when the coarse space is per-element (nel small enough
+    for the dense [nel, nel] inverse); otherwise it maps each element to its
+    RCB aggregate and ec_inv is [nagg, nagg]."""
 
     blocks_inv: jnp.ndarray  # [nel, np2, np2]
-    ec_inv: jnp.ndarray  # [nel, nel] dense inverse of the coarse operator
+    ec_inv: jnp.ndarray  # [nc, nc] dense inverse of the coarse operator
+    agg_of_el: jnp.ndarray | None = None  # int32 [nel] or None
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         nel = r.shape[-1]
         rf = r.reshape(-1, nel)  # [np2, nel] (element-last)
         local = jnp.einsum("eab,be->ae", self.blocks_inv, rf, precision="highest")
         rc = rf.sum(axis=0)
-        coarse = self.ec_inv @ rc
+        if self.agg_of_el is not None:
+            nagg = self.ec_inv.shape[0]
+            rc = jax.ops.segment_sum(rc, self.agg_of_el, num_segments=nagg)
+            coarse = (self.ec_inv @ rc)[self.agg_of_el]
+        else:
+            coarse = self.ec_inv @ rc
         out = local + coarse[None, :]
         return out.reshape(r.shape)
 
 
-def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
-    """Host-level construction (jitted probing inside). Cache per (mesh, dt)."""
+def build_e_preconditioner(
+    mesh: SemMesh, dt_over_g0: float, coarse_max_dense: int = 4096
+) -> ETwoLevel:
+    """Host-level construction (jitted probing inside). Cache per (mesh, dt).
+
+    coarse_max_dense: largest coarse problem kept as a dense inverse; meshes
+    with more elements get an RCB-aggregated coarse space of that size (see
+    module docstring)."""
     np2 = int(np.prod(mesh.bm2.shape[:-1]))  # pressure pts per element (element-last)
     nel = mesh.nel
     dtype = mesh.bm2.dtype
@@ -163,36 +189,63 @@ def build_e_preconditioner(mesh: SemMesh, dt_over_g0: float) -> ETwoLevel:
 
     blocks_inv = finalize(blocks_dev)
 
-    # ---- coarse operator by distance-3 colored probing ----
-    if colors3_nat is not None:
-        colors3 = colors3_nat
+    # ---- coarse space: per-element constants, or per-RCB-aggregate above
+    # the dense ceiling (memory bound: coarse_max_dense^2) ----
+    if nel <= coarse_max_dense:
+        group_of_el = np.arange(nel)
+        ngrp = nel
+        gadj = adj
+        colors3 = colors3_nat if colors3_nat is not None else greedy_coloring(
+            _square_adjacency(adj))
     else:
-        colors3 = greedy_coloring(_square_adjacency(adj))
+        ngrp = coarse_max_dense
+        # element centroids in ELEMENT-LAST layout: x is [ndim, pts..., nel]
+        xs = np.asarray(mesh.x).reshape(mesh.ndim, -1, nel)
+        centroids = np.ascontiguousarray(xs.mean(axis=1).T)  # [nel, ndim]
+        from ..mesh.re2 import rcb_order
+
+        order = rcb_order(centroids, ngrp)  # native C++ RCB when available
+        group_of_el = np.empty(nel, dtype=np.int64)
+        bounds = np.linspace(0, nel, ngrp + 1).astype(int)
+        for g in range(ngrp):
+            group_of_el[order[bounds[g]:bounds[g + 1]]] = g
+        gadj = [set() for _ in range(ngrp)]
+        for e, nb in enumerate(adj):
+            ge = int(group_of_el[e])
+            for u in nb:
+                gu = int(group_of_el[u])
+                if gu != ge:
+                    gadj[ge].add(gu)
+        colors3 = greedy_coloring(_square_adjacency(gadj))
     ncol3 = int(colors3.max()) + 1
-    ec = np.zeros((nel, nel))
+    el_color = colors3[group_of_el]  # per-element color of its group
+    ec = np.zeros((ngrp, ngrp))
     ones_pat = jnp.ones((np2,), dtype)
 
-    # support of E 1_e = e and its neighbors; with distance-3 coloring the
-    # supports of same-color probes are disjoint, so row sums attribute
-    # uniquely to the nearest probed element
-    nbr_plus = [set([e]) | adj[e] for e in range(nel)]
+    # support of E R_a^T 1_g = g's elements and their neighbors; with
+    # distance-3 coloring of the GROUP graph, same-color probe supports are
+    # disjoint, so group-restricted row sums attribute uniquely
+    nbr_plus = [set([g]) | gadj[g] for g in range(ngrp)]
     for c in range(ncol3):
-        mask_c = jnp.asarray((colors3 == c).astype(np.float64)).astype(dtype)
+        mask_c = jnp.asarray((el_color == c).astype(np.float64)).astype(dtype)
         q = ones_pat[:, None] * mask_c[None, :]  # [np2, nel]
-        out = np.asarray(eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel)).sum(axis=0)
-        for e in np.nonzero(colors3 == c)[0]:
-            for e2 in nbr_plus[e]:
-                ec[e2, e] = out[e2]
+        out_el = np.asarray(eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel)).sum(axis=0)
+        out = np.zeros(ngrp)
+        np.add.at(out, group_of_el, out_el)  # R_a of the probe response
+        for g in np.nonzero(colors3 == c)[0]:
+            for g2 in nbr_plus[g]:
+                ec[g2, g] = out[g2]
     ec = 0.5 * (ec + ec.T)
     # nullspace: constants (enclosed flows). Shift the constant mode by a
     # O(diag)-sized sigma so E_c^-1 acts like a pseudo-inverse with a modest
     # (1/sigma) response on the nullspace; the solver projects it out anyway.
     if mesh.p_fixed:
         sigma = np.abs(np.diag(ec)).mean()
-        ec = ec + sigma * np.ones((nel, nel)) / nel
+        ec = ec + sigma * np.ones((ngrp, ngrp)) / ngrp
     ec_inv = np.linalg.inv(ec)
 
     return ETwoLevel(
         blocks_inv=jnp.asarray(blocks_inv, dtype),
         ec_inv=jnp.asarray(ec_inv, dtype),
+        agg_of_el=jnp.asarray(group_of_el, jnp.int32) if ngrp < nel else None,
     )

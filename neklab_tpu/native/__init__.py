@@ -38,15 +38,8 @@ def _load():
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.nt_adjacency_coloring.restype = ctypes.c_int64
         lib.nt_adjacency_coloring.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p]
-        lib.nt_gs_schedule.restype = ctypes.c_int64
-        lib.nt_gs_schedule.argtypes = [
-            ctypes.c_int64, i64p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
-        ]
         lib.nt_rcb_partition.restype = None
         lib.nt_rcb_partition.argtypes = [ctypes.c_int64, ctypes.c_int32, f64p, ctypes.c_int32, i32p]
-        lib.nt_connectivity.restype = ctypes.c_int64
-        lib.nt_connectivity.argtypes = [ctypes.c_int64, ctypes.c_int32, f64p, ctypes.c_double, i64p]
         _lib = lib
     except Exception:
         _lib = None
@@ -73,25 +66,6 @@ def adjacency_colorings(gidx: np.ndarray, nel: int) -> tuple[np.ndarray, np.ndar
     return c2.astype(np.int64), c3.astype(np.int64)
 
 
-def gs_schedule(gidx_flat: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
-    """CSR (offsets, positions) of the local copies of every shared DOF."""
-    lib = _load()
-    if lib is None:
-        return None
-    g = np.ascontiguousarray(gidx_flat.reshape(-1), dtype=np.int64)
-    olen = ctypes.c_int64(0)
-    total = lib.nt_gs_schedule(g.size, g, None, None, ctypes.byref(olen))
-    offsets = np.zeros(olen.value, dtype=np.int64)
-    positions = np.zeros(total, dtype=np.int64)
-    lib.nt_gs_schedule(
-        g.size, g,
-        offsets.ctypes.data_as(ctypes.c_void_p),
-        positions.ctypes.data_as(ctypes.c_void_p),
-        ctypes.byref(olen),
-    )
-    return offsets, positions
-
-
 def rcb_partition(centroids: np.ndarray, nparts: int) -> np.ndarray | None:
     """Balanced element partition by recursive coordinate bisection."""
     lib = _load()
@@ -101,14 +75,3 @@ def rcb_partition(centroids: np.ndarray, nparts: int) -> np.ndarray | None:
     part = np.zeros(c.shape[0], dtype=np.int32)
     lib.nt_rcb_partition(c.shape[0], c.shape[1], c, nparts, part)
     return part.astype(np.int64)
-
-
-def connectivity(coords: np.ndarray, tol: float = 1e-8) -> np.ndarray | None:
-    """Global numbering from quantized coordinates [npts, ndim]."""
-    lib = _load()
-    if lib is None:
-        return None
-    c = np.ascontiguousarray(coords, dtype=np.float64)
-    out = np.zeros(c.shape[0], dtype=np.int64)
-    lib.nt_connectivity(c.shape[0], c.shape[1], c, tol, out)
-    return out

@@ -11,14 +11,8 @@
 //                           (elements sharing a DOF are adjacent) + greedy
 //                           colorings of G and G^2 (used by the two-level
 //                           pressure-preconditioner probing).
-//   nt_gs_schedule        : gather-scatter exchange schedule: CSR lists of
-//                           the local copies of every multiply-owned DOF
-//                           (the gslib setup equivalent).
 //   nt_rcb_partition      : recursive coordinate bisection of element
 //                           centroids into nparts balanced parts (genmap).
-//   nt_connectivity       : global numbering from quantized node coordinates
-//                           (conforming meshes; the genmap vertex-matching
-//                           core).
 
 #include <algorithm>
 #include <cmath>
@@ -92,35 +86,6 @@ int64_t nt_adjacency_coloring(int64_t nel, int64_t npts, const int64_t* gidx,
   return nc2;
 }
 
-// Gather-scatter schedule: for DOFs with multiplicity > 1, CSR of their
-// local (flattened) positions. Two-pass API: first call with out_* null to
-// get sizes (returns nshared; *offsets_len set), then with buffers.
-int64_t nt_gs_schedule(int64_t n, const int64_t* gidx, int64_t* offsets,
-                       int64_t* positions, int64_t* offsets_len) {
-  int64_t nglob = 0;
-  for (int64_t i = 0; i < n; ++i) nglob = std::max(nglob, gidx[i] + 1);
-  std::vector<int32_t> count(nglob, 0);
-  for (int64_t i = 0; i < n; ++i) count[gidx[i]]++;
-  int64_t nshared = 0, total = 0;
-  for (int64_t g = 0; g < nglob; ++g)
-    if (count[g] > 1) { nshared++; total += count[g]; }
-  if (offsets_len) *offsets_len = nshared + 1;
-  if (!offsets || !positions) return total;
-  // compact ids for shared dofs
-  std::vector<int64_t> sid(nglob, -1);
-  int64_t k = 0;
-  offsets[0] = 0;
-  for (int64_t g = 0; g < nglob; ++g)
-    if (count[g] > 1) { sid[g] = k; offsets[k + 1] = offsets[k] + count[g]; ++k; }
-  std::vector<int64_t> cursor(nshared);
-  for (int64_t i = 0; i < nshared; ++i) cursor[i] = offsets[i];
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t s = sid[gidx[i]];
-    if (s >= 0) positions[cursor[s]++] = i;
-  }
-  return total;
-}
-
 // Recursive coordinate bisection: centroids [nel * ndim], part out [nel].
 static void rcb_recurse(std::vector<int32_t>& ids, const double* c, int ndim,
                         int64_t nel, int32_t p0, int32_t nparts, int32_t* part) {
@@ -156,45 +121,6 @@ void nt_rcb_partition(int64_t nel, int32_t ndim, const double* centroids,
   std::vector<int32_t> ids(nel);
   for (int64_t i = 0; i < nel; ++i) ids[i] = (int32_t)i;
   rcb_recurse(ids, centroids, ndim, nel, 0, nparts, part);
-}
-
-// Conforming-mesh connectivity: quantize coordinates to tol, identical keys
-// share a global id. coords: [npts_total * ndim]; out gidx: [npts_total].
-// Returns nglob.
-int64_t nt_connectivity(int64_t npts, int32_t ndim, const double* coords,
-                        double tol, int64_t* gidx_out) {
-  struct Key {
-    int64_t k[3];
-    bool operator==(const Key& o) const {
-      return k[0] == o.k[0] && k[1] == o.k[1] && k[2] == o.k[2];
-    }
-  };
-  struct KeyHash {
-    size_t operator()(const Key& a) const {
-      size_t h = 1469598103934665603ull;
-      for (int i = 0; i < 3; ++i) {
-        h ^= (size_t)a.k[i];
-        h *= 1099511628211ull;
-      }
-      return h;
-    }
-  };
-  std::unordered_map<Key, int64_t, KeyHash> table;
-  table.reserve((size_t)npts);
-  int64_t next = 0;
-  for (int64_t p = 0; p < npts; ++p) {
-    Key key{{0, 0, 0}};
-    for (int32_t d = 0; d < ndim; ++d)
-      key.k[d] = (int64_t)llround(coords[p * ndim + d] / tol);
-    auto it = table.find(key);
-    if (it == table.end()) {
-      table.emplace(key, next);
-      gidx_out[p] = next++;
-    } else {
-      gidx_out[p] = it->second;
-    }
-  }
-  return next;
 }
 
 }  // extern "C"

@@ -113,7 +113,15 @@ def _dssum_facepair(mesh: SemMesh, f: jnp.ndarray) -> jnp.ndarray:
             term = mesh.fp_roll_mask[k] * jnp.roll(Gf, -d, axis=-1)
             P = term if P is None else P + term
         if mesh.fp_rem_dst.shape[0]:
-            P = P.at[..., mesh.fp_rem_dst].set(Gf[..., mesh.fp_rem_src])
+            # rem_dst comes from np.nonzero in mesh/core.py:_roll_plan, so it
+            # is unique and sorted; declaring that keeps the scatter
+            # `jax.linear_transpose`-able (scatter transpose is only defined
+            # for unique indices), which the exact discrete adjoint relies on.
+            P = P.at[..., mesh.fp_rem_dst].set(
+                Gf[..., mesh.fp_rem_src],
+                unique_indices=True,
+                indices_are_sorted=True,
+            )
     else:
         P = Gf[..., mesh.fp_pidx]
     em = np.ones(n)

@@ -88,11 +88,6 @@ def apply_l(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, st: PertState,
     return mesh.vmask * mesh.binv * sem.dssum(mesh, n_u + visc + gp)
 
 
-def _gram(mesh: SemMesh, a, b):
-    """Gram matrix of mass dots between stacked field batches [r, ndim, ...]."""
-    return jnp.einsum("ic...,jc...,c...->ij", a, b, mesh.bm1[None], precision="highest")
-
-
 def _mass_dots(mesh, a, b):
     return jnp.einsum("ic...,jc...->ij", a * mesh.bm1[None, None], b, precision="highest")
 
@@ -275,8 +270,29 @@ def save_otd_restart(outdir: str, perts: PertState, base: FlowState,
     for f in dataclasses.fields(base):
         data["base_" + f.name] = np.asarray(getattr(base, f.name))
     os.makedirs(outdir, exist_ok=True)
-    np.savez_compressed(path, **data)
+    # atomic write: a kill mid-write must not corrupt the only resume point
+    # (same tmp+replace discipline as krylov/eigs._save_krylov_state).
+    # NOTE: savez appends '.npz' unless the name already ends with it.
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **data)
+    os.replace(tmp, path)
     return path
+
+
+def _max_counter(outdir: str, prefix: str) -> int:
+    """Largest .fNNNNN counter among files named <prefix>NNNNN* in outdir
+    (0 if none) — used to continue output numbering across restarts."""
+    best = 0
+    try:
+        names = os.listdir(outdir)
+    except OSError:
+        return 0
+    for name in names:
+        if name.startswith(prefix):
+            digits = name[len(prefix):len(prefix) + 5]
+            if digits.isdigit():
+                best = max(best, int(digits))
+    return best
 
 
 def load_otd_restart(path: str, perts_tmpl: PertState, base_tmpl: FlowState):
@@ -342,15 +358,25 @@ def otd_analysis(
         mode = "a" if restart is not None else "w"
         f_ls = open(os.path.join(outdir, "Ls.dat"), mode)
         f_lr = open(os.path.join(outdir, "Lr.dat"), mode)
+        if restart is not None:
+            # continue past existing outputs so a resumed run never
+            # overwrites the checkpoint it was resumed from
+            io_counter = _max_counter(outdir, "m01otd0.f")
+            rst_counter = _max_counter(outdir, "rstotd0.f")
 
     def next_event(k):
-        """Steps until the next cadence boundary after k evolved OTD steps."""
-        cadences = [opts.printstep]
-        if opts.iostep:
-            cadences.append(opts.iostep)
-        if opts.iorststep:
-            cadences.append(opts.iorststep)
-        return min(c - (k % c) for c in cadences if c > 0)
+        """Steps until the next cadence boundary after k evolved OTD steps.
+        Cadences of 0 mean 'never' (reference semantics); with no positive
+        cadence at all, run the whole remainder in one chunk. orthostep is
+        included so chunk boundaries land on GLOBAL orthostep multiples —
+        otd_chunk counts ortho_every from the chunk start, so this keeps the
+        realized re-orthonormalization schedule on the reference's global
+        cadence rather than resetting phase at each print/io boundary."""
+        cadences = [c for c in (opts.printstep, opts.iostep, opts.iorststep,
+                                opts.orthostep) if c > 0]
+        if not cadences:
+            return nsteps - done
+        return min(c - (k % c) for c in cadences)
 
     evolved = 0  # OTD steps evolved (after startstep)
     try:
@@ -364,7 +390,7 @@ def otd_analysis(
             evolved += k
             lr_np = np.asarray(lr)
             t = float(base.time)
-            if evolved % opts.printstep == 0 or done >= nsteps:
+            if (opts.printstep > 0 and evolved % opts.printstep == 0) or done >= nsteps:
                 lr_history.append((t, lr_np))
                 ev = np.sort_complex(np.linalg.eigvals(lr_np))[::-1]
                 evs = np.sort(np.linalg.eigvalsh(0.5 * (lr_np + lr_np.T)))[::-1]

@@ -6,6 +6,7 @@ self-consistency oracles: svds vs. power iteration on M*M, and the
 triplet identity."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from neklab_tpu.analysis import transient_growth_analysis_fixed_point
@@ -19,6 +20,7 @@ from neklab_tpu.ops import sem
 from neklab_tpu.vectors import flow_vector_space
 
 
+@pytest.mark.slow
 def test_bfs_transient_growth():
     mesh = bfs_mesh(li=2, lo=8, nel_li=2, nel_lo=6, nel_y_in=2, nel_y_step=2, order=5)
     re = 200.0

@@ -246,3 +246,33 @@ def test_svds_checkpoint_resume(tmp_path):
     res = svds(op, space, nsv=3, kdim=30, tol=1e-10, seed=3,
                checkpoint=ckpt, checkpoint_every=2)
     assert np.allclose(res.s, full.s, atol=1e-9), (res.s, full.s)
+
+
+def test_fgmres_dense_variable_preconditioner():
+    """fgmres converges with an iteration-VARYING right preconditioner (the
+    case plain right-preconditioned GMRES cannot handle) and reduces to gmres
+    when precond=None. Reference: LightKrylov fgmres (facade export, imported
+    by resolvent.f90:3)."""
+    from neklab_tpu.krylov import fgmres
+
+    n = 80
+    rng = np.random.default_rng(11)
+    a = np.eye(n) + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+    b = rng.standard_normal(n)
+    space = euclidean_space()
+    d = np.abs(np.diag(a)) + 0.5
+    calls = [0]
+
+    def wobbly_precond(v):
+        # different (random-strength Jacobi) preconditioner every call
+        calls[0] += 1
+        w = 1.0 + 0.3 * np.sin(calls[0])
+        return jnp.asarray(np.asarray(v) / (d ** w))
+
+    sol = fgmres(_mat_op(a), jnp.asarray(b), space, precond=wobbly_precond,
+                 kdim=40, rtol=1e-10, max_restarts=10)
+    assert sol.converged and calls[0] > 0
+    assert np.linalg.norm(a @ np.asarray(sol.x) - b) < 1e-8
+    sol0 = fgmres(_mat_op(a), jnp.asarray(b), space, kdim=40, rtol=1e-10)
+    assert sol0.converged
+    assert np.linalg.norm(a @ np.asarray(sol0.x) - b) < 1e-8

@@ -7,6 +7,7 @@ Analog of the reference's examples/poiseuille/OTD_steady case (SURVEY 3.5)
 with an analytic oracle instead of eyeballed plots."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from neklab_tpu.mesh.box import box_mesh
@@ -40,6 +41,7 @@ def test_apply_l_rayleigh_quotient():
     assert abs(rq - (-(1 / RE) * (np.pi / 2) ** 2)) < 1e-10
 
 
+@pytest.mark.slow
 def test_otd_converges_to_leading_modes():
     mesh, cfg = _setup(order=4)
     y = mesh.x[1]
@@ -111,6 +113,7 @@ def test_apply_l_trans_is_exact_adjoint():
     assert abs(a - b) < 1e-11 * max(abs(a), 1.0), (a, b)
 
 
+@pytest.mark.slow
 def test_otd_trans_spectrum_matches_direct():
     """For a steady base flow the adjoint OTD subspace converges to the
     leading ADJOINT eigenvalues — identical to the direct ones for this
@@ -163,6 +166,7 @@ def test_otd_outpost_restart_and_cadences(tmp_path):
     assert np.allclose(lr_full, lr_res, atol=1e-12), (lr_full, lr_res)
 
 
+@pytest.mark.slow
 def test_otd_startstep_defers_evolution():
     """startstep > 1 advances the base alone first (reference gate at
     neklab_analysis.f90:255-257): with solve_baseflow the base time moves,

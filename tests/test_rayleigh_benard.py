@@ -10,6 +10,7 @@ Reference analog: examples/rayBen (supercriticality check Ra=1900 > Ra_c,
 rayBen.par:6-10) — here the actual critical value is computed."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from neklab_tpu.analysis import linear_stability_analysis_fixed_point
@@ -48,6 +49,7 @@ def _sigma(ra: float) -> float:
     return float(res.eigvals[0].real)
 
 
+@pytest.mark.slow
 def test_critical_rayleigh_number():
     ra_lo, ra_hi = 1690.0, 1725.0
     s_lo, s_hi = _sigma(ra_lo), _sigma(ra_hi)

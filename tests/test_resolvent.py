@@ -19,6 +19,7 @@ from neklab_tpu.models.linearized import LinConfig
 from neklab_tpu.models.navier_stokes import FlowConfig
 
 
+@pytest.mark.slow
 def test_stokes_resolvent_oracle():
     mesh = box_mesh(
         (3, 3), ((0, 2 * np.pi), (0, 2 * np.pi)),
@@ -42,6 +43,7 @@ def test_stokes_resolvent_oracle():
     assert abs(got_im - expect.imag) < 2e-4 * abs(expect)
 
 
+@pytest.mark.slow
 def test_resolvent_hermitian_adjoint():
     mesh = box_mesh(
         (3, 2), ((0, 2 * np.pi), (-1, 1)),

@@ -197,3 +197,50 @@ def test_dssum_structured_3d_vs_scatter():
     assert np.allclose(np.asarray(sem.dssum(mesh, f)), np.asarray(scatter_dssum(f)), atol=1e-13)
     g = jax.random.normal(jax.random.PRNGKey(1), mesh.bm1.shape)
     assert np.allclose(np.asarray(sem.dssum(mesh, g)), np.asarray(scatter_dssum(g)), atol=1e-13)
+
+
+def test_dssum_linear_transpose_unstructured():
+    """dssum = Q Q^T is Euclidean self-adjoint, so jax.linear_transpose of the
+    roll-decomposed face-pair path must (a) not crash — the round-2 remainder
+    scatters at ops/sem.py broke this (NotImplementedError: scatter transpose
+    needs unique_indices) and killed every adjoint path on unstructured
+    meshes — and (b) equal dssum itself to machine precision. Reference
+    semantics: gslib dssum is symmetric (real_vectors.f90:100-104)."""
+    from neklab_tpu.mesh.bfs import bfs_mesh
+    from neklab_tpu.ops import sem
+
+    mesh = bfs_mesh(order=4)
+    # the regression is only reachable when the roll plan has a remainder
+    assert mesh.fp_rem_dst is not None and mesh.fp_rem_dst.shape[0] > 0
+    n = mesh.basis.n
+    u = jax.random.normal(jax.random.PRNGKey(0), (n, n, mesh.nel))
+    v = jax.random.normal(jax.random.PRNGKey(1), (n, n, mesh.nel))
+    t = jax.linear_transpose(lambda x: sem.dssum(mesh, x), u)
+    (tv,) = t(v)
+    assert np.allclose(np.asarray(tv), np.asarray(sem.dssum(mesh, v)), atol=1e-12)
+    lhs = float(jnp.vdot(sem.dssum(mesh, u), v))
+    rhs = float(jnp.vdot(u, tv))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+
+
+@pytest.mark.slow
+def test_dssum_linear_transpose_1cyl_f64():
+    """Same self-adjointness check on the REFERENCE production mesh
+    (1cyl.re2, 1996 elements; fp remainder 160, vs remainder 631), machine
+    precision in f64 — the round-2 VERDICT's required regression test for
+    the adjoint machinery on the meshes the parity story is built on."""
+    from neklab_tpu.mesh.re2 import mesh_from_re2
+    from neklab_tpu.ops import sem
+
+    ref = "/root/reference/examples/cylinder/stability/direct/1cyl.re2"
+    mesh = mesh_from_re2(ref, order=5, dealias_order=8, dtype=jnp.float64)
+    assert mesh.fp_rem_dst is not None and mesh.fp_rem_dst.shape[0] > 0
+    n = mesh.basis.n
+    u = jax.random.normal(jax.random.PRNGKey(0), (n, n, mesh.nel), dtype=jnp.float64)
+    v = jax.random.normal(jax.random.PRNGKey(1), (n, n, mesh.nel), dtype=jnp.float64)
+    t = jax.linear_transpose(lambda x: sem.dssum(mesh, x), u)
+    (tv,) = t(v)
+    assert np.allclose(np.asarray(tv), np.asarray(sem.dssum(mesh, v)), atol=1e-12)
+    lhs = float(jnp.vdot(sem.dssum(mesh, u), v))
+    rhs = float(jnp.vdot(u, tv))
+    assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0)

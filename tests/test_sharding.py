@@ -38,6 +38,7 @@ def sharded_case():
     return dmesh, mesh, cfg, u0
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded(sharded_case):
     dmesh, mesh, cfg, u0 = sharded_case
     st = initial_state(mesh, cfg, u=u0)
@@ -133,6 +134,7 @@ def test_re2_rcb_ordering_consistent():
     assert np.mean(areas) < 0.35 * gx, (np.mean(areas), gx)
 
 
+@pytest.mark.slow
 def test_sharded_linearized_step_facepair(sharded_re2_case):
     """Sharded linearized steps on the unstructured mesh match unsharded."""
     from neklab_tpu.models.linearized import LinConfig, propagate
@@ -159,6 +161,7 @@ def test_sharded_linearized_step_facepair(sharded_re2_case):
     assert np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max() < 1e-7
 
 
+@pytest.mark.slow
 def test_facepair_collective_pattern(sharded_re2_case):
     """Compiled unstructured step: all-gathers may move only face-strip-sized
     tensors (O(surface)), never full volume fields."""

@@ -58,6 +58,7 @@ def _oracle(re):
     return np.array(cand)
 
 
+@pytest.mark.slow
 def test_poiseuille_eigenvalues(poiseuille):
     mesh, expA, space = poiseuille
     res = linear_stability_analysis_fixed_point(
@@ -72,6 +73,7 @@ def test_poiseuille_eigenvalues(poiseuille):
     assert abs(res.eigvals[0] - (-(1 / RE) * (np.pi / 2) ** 2)) < 1e-5
 
 
+@pytest.mark.slow
 def test_poiseuille_adjoint_spectrum(poiseuille):
     # the adjoint operator has the same spectrum (neklab runs dir + adj pairs)
     mesh, expA, space = poiseuille

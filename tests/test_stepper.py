@@ -97,7 +97,9 @@ def test_forced_channel_steady():
     assert _rel_l2(mesh, st.u, ue) < 1e-6
 
 
-@pytest.mark.parametrize("nscal", [0, 1])
+@pytest.mark.parametrize(
+    "nscal", [0, pytest.param(1, marks=pytest.mark.slow)]
+)
 def test_adjoint_consistency(nscal):
     # <M u, v>_B = <u, M* v>_B to solver tolerance — including a coupled
     # Boussinesq-like scalar when nscal = 1
@@ -173,6 +175,7 @@ def test_linearized_matches_nonlinear_difference():
     assert err < 1e-5, err
 
 
+@pytest.mark.slow
 def test_3d_forced_channel_steady():
     # full 3-D path: tensor kernels, P(N)/P(N-2) pressure, Helmholtz solves
     nu3 = 0.8
@@ -195,6 +198,7 @@ def test_3d_forced_channel_steady():
     assert _rel_l2(mesh, st.u, ue) < 1e-6
 
 
+@pytest.mark.slow
 def test_advance_adaptive_variable_dt():
     """Variable-dt spin-up (setup_nek's variable-dt path,
     neklab_nek_setup.f90:159-191): hits endtime exactly, clamps per-chunk dt

@@ -36,6 +36,7 @@ def _channel(order=5):
     return mesh, LinConfig(flow=fc)
 
 
+@pytest.mark.slow
 def test_newton_fixed_point():
     mesh, cfg = _channel()
     sys = FixedPointSystem(mesh, cfg, tau=0.5, dt=0.025)
@@ -66,6 +67,7 @@ def test_newton_exact_jacobian():
     assert res.converged
 
 
+@pytest.mark.slow
 def test_upo_jacobian_fd_consistency():
     mesh, cfg = _channel(order=4)
     y = mesh.x[1]

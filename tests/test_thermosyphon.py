@@ -7,6 +7,7 @@ integration -> Newton-Krylov steady convecting state -> eigensolve, with the
 discrete-adjoint identity checked on the curved + thermally coupled system."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def _setup():
     return mesh, cfg, tb
 
 
+@pytest.mark.slow
 def test_thermosyphon_base_flow_and_spectrum():
     mesh, cfg, tb = _setup()
     fc = cfg.flow
