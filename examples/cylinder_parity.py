@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--maxiter", type=int, default=8)
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-evec", default=None, help="npz path for the leading eigenvector")
+    ap.add_argument("--checkpoint", default=None,
+                    help="Arnoldi kill-and-resume state file (krylov.eigs)")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +85,8 @@ def main():
     eig_tol = 1e-7 if args.f64 else 1e-5
     t1 = time.time()
     res = linear_stability_analysis_fixed_point(
-        expA, space, kdim=args.kdim, nev=args.nev, tol=eig_tol, maxiter=args.maxiter
+        expA, space, kdim=args.kdim, nev=args.nev, tol=eig_tol,
+        maxiter=args.maxiter, checkpoint=args.checkpoint,
     )
     elapsed = time.time() - t1
 

@@ -197,20 +197,25 @@ class Resolvent(LinearOperator):
         self._transposes[fn_name] = apply
         return apply
 
-    def _solve(self, b: dict, adjoint: bool) -> dict:
+    def _solve(self, b: dict, adjoint: bool, x0: dict | None = None) -> dict:
         mv = self._Mdag if adjoint else self._M
         op = FunctionOperator(lambda x: tree_axpby(1.0, x, -1.0, mv(x)))
         sol = gmres(
-            op, b, self.space, kdim=self.gmres_kdim,
+            op, b, self.space, x0=x0, kdim=self.gmres_kdim,
             rtol=self.gmres_rtol, atol=self.gmres_atol, max_restarts=4,
         )
+        self.last_gmres_matvecs = sol.n_matvec
         return sol.x
 
     # -- the operator --------------------------------------------------------
 
-    def matvec(self, f: dict) -> dict:
+    def matvec(self, f: dict, x0: dict | None = None) -> dict:
+        """x0: optional warm start for the periodic-response GMRES solve —
+        e.g. the previous frequency's x_re in a resolvent sweep (the
+        response varies smoothly with omega; reference sweep:
+        /root/reference/examples/back_fstep/gramian/bfs.usr:30-48)."""
         b = self._G(f["re"], f["im"])
-        x_re = self._solve(b, adjoint=False)
+        x_re = self._solve(b, adjoint=False, x0=x0)
         uq, thq = self._forced(x_re["u"], x_re["theta"], f["re"], f["im"], self.nq)
         x_im = {"u": -uq, "theta": -thq}
         return {"re": x_re, "im": x_im}

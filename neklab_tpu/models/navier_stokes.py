@@ -193,8 +193,16 @@ def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0, pc=None):
     pure = mesh.p_fixed  # no outflow: E has the constant nullspace
     proj = stokes.project_onto_range if pure else (lambda q: q)
 
+    # exact neighbor-block form of E when the preconditioner carries it
+    # (ETwoLevel.eb_w): gather+einsum instead of the matrix-free kernel
+    # chain — the chain is kernel-count-bound on unstructured 2-D meshes
+    if pc is not None and getattr(pc, "eb_w", None) is not None:
+        e_apply = lambda q: pc.e_apply(q, dt_over_g0)
+    else:
+        e_apply = lambda q: stokes.e_op(mesh, q, dt_over_g0)
+
     def op(dp):
-        return proj(stokes.e_op(mesh, proj(dp), dt_over_g0))
+        return proj(e_apply(proj(dp)))
 
     if pc is not None:
         precond = lambda r: proj(pc.apply(proj(r)))
@@ -215,7 +223,7 @@ def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0, pc=None):
         transients."""
         if x0 is not None:
             x0 = proj(x0)
-            rhs = rhs - stokes.e_op(mesh, x0, dt_over_g0)
+            rhs = rhs - e_apply(x0)
         dp = lax.custom_linear_solve(op, proj(rhs), solve=inner_solve, symmetric=True)
         if x0 is not None:
             dp = dp + x0

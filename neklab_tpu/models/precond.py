@@ -55,6 +55,31 @@ def element_adjacency(mesh: SemMesh) -> list[set[int]]:
     return adj
 
 
+def face_adjacency(mesh: SemMesh) -> list[set[int]]:
+    """Elements sharing a FACE (>= 2 shared global DOFs in 2-D, >= 4 in 3-D)
+    — excludes pure vertex/edge neighbors. Used for the overlapping-Schwarz
+    patches, where face neighbors carry almost all of the coupling."""
+    gidx = np.asarray(mesh.gidx).reshape(-1, mesh.nel).T
+    dof_owners: dict[int, list[int]] = {}
+    for e in range(mesh.nel):
+        for g in np.unique(gidx[e]):
+            dof_owners.setdefault(int(g), []).append(e)
+    from collections import Counter
+
+    pair_counts: Counter = Counter()
+    for owners in dof_owners.values():
+        for i, a in enumerate(owners):
+            for b in owners[i + 1:]:
+                pair_counts[(a, b) if a < b else (b, a)] += 1
+    thresh = 2 if mesh.ndim == 2 else 4
+    adj: list[set[int]] = [set() for _ in range(mesh.nel)]
+    for (a, b), cnt in pair_counts.items():
+        if cnt >= thresh:
+            adj[a].add(b)
+            adj[b].add(a)
+    return adj
+
+
 def greedy_coloring(adj: list[set[int]]) -> np.ndarray:
     n = len(adj)
     colors = -np.ones(n, dtype=np.int64)
@@ -85,35 +110,160 @@ class ETwoLevel:
 
     agg_of_el is None when the coarse space is per-element (nel small enough
     for the dense [nel, nel] inverse); otherwise it maps each element to its
-    RCB aggregate and ec_inv is [nagg, nagg]."""
+    RCB aggregate and ec_inv is [nagg, nagg].
+
+    eb_w/eb_nbr (optional) hold the EXACT neighbor-block (ELL) form of the
+    E operator itself at dt_over_g0 = 1: E is block-sparse over elements
+    (pressure is discontinuous; coupling reaches only adjacent elements
+    through the velocity dssum), so
+
+        (E p)|_e = s * sum_m eb_w[e, m] @ p|_{eb_nbr[e, m]},   s = dt/g0
+
+    — ONE element-axis gather + ONE batched einsum. The matrix-free chain
+    (grad_weak_t -> face-pair dssum -> div_weak) is ~40 XLA kernels; on the
+    unstructured 2-D production meshes the solver is kernel-count-bound, so
+    collapsing the per-CG-iteration operator to 2 kernels is the single
+    biggest per-iteration win (round-3 profiling: e_op 518 us -> ~100 us).
+    E(dt) = (dt/g0) * E(1) exactly, so the blocks are per-MESH, not per-dt
+    (traced-dt UPO paths just scale the apply)."""
 
     blocks_inv: jnp.ndarray  # [nel, np2, np2]
     ec_inv: jnp.ndarray  # [nc, nc] dense inverse of the coarse operator
     agg_of_el: jnp.ndarray | None = None  # int32 [nel] or None
+    eb_w: jnp.ndarray | None = None  # [nel, K, np2, np2] exact E blocks (s=1)
+    eb_nbr: jnp.ndarray | None = None  # int32 [nel, K] neighbor table
+    # overlapping-Schwarz local level (local="oas"): face-neighbor patches,
+    # sqrt-partition-of-unity weighted both sides (symmetric), patch solves
+    # as one batched matmul. Cuts cold E iterations ~2.7x vs block-Jacobi on
+    # the production cylinder mesh (342 -> 125 with the const coarse).
+    oas_binv: jnp.ndarray | None = None  # [nel, P*np2, P*np2]
+    oas_gin: jnp.ndarray | None = None  # int32 [nel, P] patch element ids
+    oas_win: jnp.ndarray | None = None  # [nel, P] in-weights (0 on pads)
+    oas_rev: jnp.ndarray | None = None  # int32 [nel, P] flat (el*P+slot) gather-back
+    oas_wout: jnp.ndarray | None = None  # [nel, P] out-weights (0 on pads)
+
+    def e_apply(self, p: jnp.ndarray, dt_over_g0) -> jnp.ndarray:
+        """Exact E p via the neighbor-block form (requires eb_w)."""
+        np2, nel = self.eb_w.shape[-1], self.eb_w.shape[0]
+        pf = p.reshape(p.shape[:-3] + (np2, nel)) if p.ndim >= 3 else p.reshape((np2, nel))
+        pg = pf[..., self.eb_nbr]  # [np2, nel, K]
+        out = jnp.einsum("ekab,...bek->...ae", self.eb_w, pg,
+                         precision="highest")
+        return (dt_over_g0 * out).reshape(p.shape)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        # the stored matrices may be compressed to bf16 (preconditioner
+        # accuracy is free; halves the dominant per-iteration HBM traffic);
+        # all arithmetic promotes back to the field dtype
+        dt = r.dtype
         nel = r.shape[-1]
         rf = r.reshape(-1, nel)  # [np2, nel] (element-last)
-        local = jnp.einsum("eab,be->ae", self.blocks_inv, rf, precision="highest")
+        if self.oas_binv is not None:
+            np2 = rf.shape[0]
+            P = self.oas_gin.shape[1]
+            # gather patch residuals, weight, batched patch solve
+            rp = rf.T[self.oas_gin] * self.oas_win[:, :, None]  # [nel, P, np2]
+            sol = jnp.einsum(
+                "eab,eb->ea", self.oas_binv, rp.reshape(nel, P * np2).astype(self.oas_binv.dtype),
+                precision="highest",
+            ).astype(dt).reshape(nel, P, np2)
+            # gather back each element's own piece from every patch solve
+            back = sol.reshape(nel * P, np2)[self.oas_rev]  # [nel, P, np2]
+            local = (back * self.oas_wout[:, :, None]).sum(axis=1).T  # [np2, nel]
+        else:
+            local = jnp.einsum(
+                "eab,be->ae", self.blocks_inv, rf.astype(self.blocks_inv.dtype),
+                precision="highest",
+            ).astype(dt)
         rc = rf.sum(axis=0)
         if self.agg_of_el is not None:
             nagg = self.ec_inv.shape[0]
             rc = jax.ops.segment_sum(rc, self.agg_of_el, num_segments=nagg)
-            coarse = (self.ec_inv @ rc)[self.agg_of_el]
+            coarse = (self.ec_inv @ rc.astype(self.ec_inv.dtype)).astype(dt)[self.agg_of_el]
         else:
-            coarse = self.ec_inv @ rc
+            coarse = (self.ec_inv @ rc.astype(self.ec_inv.dtype)).astype(dt)
         out = local + coarse[None, :]
         return out.reshape(r.shape)
 
 
+def _probe_e_blocks(mesh: SemMesh, adj, colors3):
+    """Exact neighbor-block extraction of E at dt_over_g0 = 1 by distance-3
+    colored probing (host-side numpy result).
+
+    Returns (W [nel, K, np2, np2] f64, nbr int64 [nel, K], slot dict): for
+    every element g, (E p)|_g = sum_m W[g, m] @ p|_{nbr[g, m]} exactly (pads
+    carry zero blocks). W is symmetrized across partner blocks so the
+    assembled operator is exactly symmetric (custom_linear_solve's
+    symmetric-transpose rule requires it)."""
+    np2 = int(np.prod(mesh.bm2.shape[:-1]))
+    nel = mesh.nel
+    dtype = mesh.bm2.dtype
+    eop1 = jax.jit(lambda q: stokes.e_op(mesh, q, 1.0))
+
+    nbrs = [sorted({e} | set(adj[e])) for e in range(nel)]
+    K = max(len(v) for v in nbrs)
+    nbr = np.zeros((nel, K), np.int64)
+    for e, v in enumerate(nbrs):
+        nbr[e, : len(v)] = v
+        nbr[e, len(v):] = e  # pad with self (weight-zero blocks)
+    slot = {}
+    for e in range(nel):
+        for m, f in enumerate(nbrs[e]):
+            slot[(e, f)] = m
+
+    W = np.zeros((nel, K, np2, np2))
+    ncol3 = int(colors3.max()) + 1
+    pats = jnp.eye(np2, dtype=dtype)
+    for c in range(ncol3):
+        mask_c = jnp.asarray((colors3 == c).astype(np.float64)).astype(dtype)
+        q = pats[:, :, None] * mask_c[None, None, :]  # [np2(j), np2, nel]
+        out = np.asarray(
+            jax.vmap(eop1)(q.reshape((np2,) + mesh.bm2.shape)).reshape(np2, np2, nel)
+        )  # out[j, i, g] = E[(g, i), (f, j)] for the color-c source f near g
+        for f in np.nonzero(colors3 == c)[0]:
+            for g in nbrs[f]:  # supp(E e_f) is within f's neighborhood
+                W[g, slot[(g, int(f))]] = out[:, :, g].T  # -> [i, j]
+    # symmetrize partner blocks (probing is exact up to roundoff)
+    for e in range(nel):
+        for m, f in enumerate(nbrs[e]):
+            if f >= e:
+                mt = slot[(f, e)]
+                avg = 0.5 * (W[e, m] + W[f, mt].T)
+                W[e, m] = avg
+                W[f, mt] = avg.T
+    return W, nbr, slot, nbrs
+
+
 def build_e_preconditioner(
-    mesh: SemMesh, dt_over_g0: float, coarse_max_dense: int = 4096
+    mesh: SemMesh,
+    dt_over_g0: float,
+    coarse_max_dense: int = 4096,
+    local: str = "bj",
+    exact_blocks: bool | None = None,
+    compress: bool | None = None,
 ) -> ETwoLevel:
     """Host-level construction (jitted probing inside). Cache per (mesh, dt).
 
     coarse_max_dense: largest coarse problem kept as a dense inverse; meshes
     with more elements get an RCB-aggregated coarse space of that size (see
-    module docstring)."""
+    module docstring).
+
+    local: "bj" (per-element block Jacobi, cheapest apply) or "oas"
+    (overlapping additive Schwarz over face-neighbor patches — ~2.7x fewer
+    CG iterations on graded unstructured meshes at ~P^2 x the local-block
+    memory).
+
+    exact_blocks: also attach the EXACT neighbor-block form of E itself
+    (ETwoLevel.eb_w/eb_nbr; see class docstring) so the pressure solver can
+    apply E as gather+einsum instead of the long matrix-free kernel chain.
+    Default (None): enabled for 2-D meshes where the block memory is modest.
+    Both "oas" and exact_blocks reuse one distance-3-colored probing pass.
+
+    compress: store the PRECONDITIONER matrices (blocks_inv / ec_inv /
+    oas_binv — NOT the exact operator blocks eb_w) in bfloat16, halving the
+    dominant per-CG-iteration HBM traffic at no accuracy cost (the
+    preconditioner only shapes the search directions). Default: on for f32
+    meshes (TPU production), off for f64."""
     np2 = int(np.prod(mesh.bm2.shape[:-1]))  # pressure pts per element (element-last)
     nel = mesh.nel
     dtype = mesh.bm2.dtype
@@ -244,8 +394,83 @@ def build_e_preconditioner(
         ec = ec + sigma * np.ones((ngrp, ngrp)) / ngrp
     ec_inv = np.linalg.inv(ec)
 
+    # ---- exact neighbor blocks of E + (optionally) OAS patch solves ----
+    if exact_blocks is None:
+        K_est = 1 + max((len(s) for s in adj), default=0)
+        exact_blocks = (
+            mesh.ndim == 2 and nel <= coarse_max_dense
+            and nel * K_est * np2 * np2 * 4 < 256e6
+        )
+    eb_w = eb_nbr = None
+    oas = {}
+    if exact_blocks or local == "oas":
+        colors3_el = (
+            colors3 if ngrp == nel
+            else greedy_coloring(_square_adjacency(adj))
+        )
+        W, nbr, slot, nbrs_list = _probe_e_blocks(mesh, adj, colors3_el)
+        if exact_blocks:
+            eb_w = jnp.asarray(W, dtype)
+            eb_nbr = jnp.asarray(nbr, jnp.int32)
+        if local == "oas":
+            fadj = face_adjacency(mesh)
+            patches = [[e] + sorted(fadj[e]) for e in range(nel)]
+            P = max(len(p) for p in patches)
+            nb2 = P * np2
+            B = np.zeros((nel, nb2, nb2))
+            gin = np.zeros((nel, P), np.int64)
+            win = np.zeros((nel, P))
+            # multiplicity of element f's DOFs across patches = 1 + deg(f)
+            mult = np.array([1 + len(fadj[f]) for f in range(nel)], float)
+            wsq = 1.0 / np.sqrt(mult)
+            for e, pat in enumerate(patches):
+                for m, g in enumerate(pat):
+                    gin[e, m] = g
+                    win[e, m] = wsq[g]
+                    for m2, f in enumerate(pat):
+                        s2 = slot.get((g, f))
+                        if s2 is not None:
+                            B[e, m * np2:(m + 1) * np2, m2 * np2:(m2 + 1) * np2] = W[g, s2]
+                # identity on pad slots keeps the patch matrix invertible
+                for m in range(len(pat), P):
+                    gin[e, m] = e
+                    sl = slice(m * np2, (m + 1) * np2)
+                    B[e, sl, sl] = np.eye(np2)
+            B = 0.5 * (B + np.swapaxes(B, 1, 2))
+            tr = np.trace(B, axis1=1, axis2=2) / nb2
+            B += (1e-8 * np.maximum(tr, 1e-30))[:, None, None] * np.eye(nb2)[None]
+            binv = np.linalg.inv(B)
+            # reverse map: element f's own piece sits at slot 0 of its own
+            # patch and at slot pos(f in patch(g)) of each face-neighbor g
+            rev = np.zeros((nel, P), np.int64)
+            wout = np.zeros((nel, P))
+            for f in range(nel):
+                entries = [(f, 0)]
+                for g in sorted(fadj[f]):
+                    entries.append((g, patches[g].index(f)))
+                for k, (g, m) in enumerate(entries):
+                    rev[f, k] = g * P + m
+                    wout[f, k] = wsq[f]
+                for k in range(len(entries), P):
+                    rev[f, k] = f * P + 0  # pad: gathers own slot, weight 0
+            oas = dict(
+                oas_binv=jnp.asarray(binv, dtype),
+                oas_gin=jnp.asarray(gin, jnp.int32),
+                oas_win=jnp.asarray(win, dtype),
+                oas_rev=jnp.asarray(rev, jnp.int32),
+                oas_wout=jnp.asarray(wout, dtype),
+            )
+
+    if compress is None:
+        compress = dtype == jnp.float32
+    pdtype = jnp.bfloat16 if compress else dtype
+    if "oas_binv" in oas:
+        oas["oas_binv"] = oas["oas_binv"].astype(pdtype)
     return ETwoLevel(
-        blocks_inv=jnp.asarray(blocks_inv, dtype),
-        ec_inv=jnp.asarray(ec_inv, dtype),
+        blocks_inv=jnp.asarray(blocks_inv, pdtype),
+        ec_inv=jnp.asarray(ec_inv, pdtype),
         agg_of_el=jnp.asarray(group_of_el, jnp.int32) if ngrp < nel else None,
+        eb_w=eb_w,
+        eb_nbr=eb_nbr,
+        **oas,
     )

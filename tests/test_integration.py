@@ -46,3 +46,69 @@ class CylEigsDir(NeklabTPUTestCase):
         self.assertAlmostEqualDelayed(res.get("omega"), 0.75, 0.05, "omega")
         self.assertIsNotNullDelayed(res.get("n_matvec"), "matvec count")
         self.assertDelayedFailures()
+
+
+class CylNewtonRe40(NeklabTPUTestCase):
+    """Newton base flow on the shipped Re=40 case: converged with a
+    superlinear residual history (reference
+    examples/cylinder/newton/Re40_fixed_point, residual_quadratic.png)."""
+
+    def test_newton_quadratic_convergence(self):
+        res = self.run_example("cylinder_newton_re40.py", [], timeout=6000)
+        self.assertIsNotNullDelayed(res.get("residual_history"), "history")
+        if res.get("newton_converged") is not True:
+            self._delayed_failures.append(
+                f"newton did not converge: |F|={res.get('newton_residual')}")
+        hist = res.get("residual_history") or []
+        if len(hist) >= 3 and not (hist[-1] < 0.05 * hist[0]):
+            self._delayed_failures.append(f"weak contraction: {hist}")
+        if res.get("superlinear") is not True:
+            self._delayed_failures.append(
+                f"contraction not superlinear: ratios={res.get('contraction_ratios')}")
+        self.assertDelayedFailures()
+
+
+class PoiseuilleOS(NeklabTPUTestCase):
+    """Orr-Sommerfeld parity at Re=7500, alpha=1 (reference
+    examples/poiseuille/stability/direct: kdim=128, nev=20)."""
+
+    def test_orr_sommerfeld_leading_mode(self):
+        preset = "fine" if _MODE == "fine" else "medium"
+        res = self.run_example(
+            "poiseuille_stability.py", ["--preset", preset], timeout=6000
+        )
+        # sigma1 must match the literature OS eigenvalue for Re=7500, a=1
+        self.assertIsNotNullDelayed(res.get("os_match_err"), "OS match error")
+        if res.get("os_match_err") is not None and res["os_match_err"] > 5e-3:
+            self._delayed_failures.append(
+                f"OS eigenvalue mismatch: {res['os_match_err']}")
+        self.assertDelayedFailures()
+
+
+class RayBenCritical(NeklabTPUTestCase):
+    """Rayleigh-Benard: supercritical at Ra=1900 and Ra_c bracket near
+    Chandrasekhar's 1707.762 (reference examples/rayBen/baseflow/rayBen.par)."""
+
+    def test_critical_rayleigh_number(self):
+        res = self.run_example("rayleigh_benard.py", ["--critical"], timeout=6000)
+        self.assertIsNotNullDelayed(res.get("sigma"), "sigma(Ra=1900)")
+        if res.get("supercritical") is not True:
+            self._delayed_failures.append("Ra=1900 not supercritical")
+        self.assertAlmostEqualDelayed(res.get("ra_c"), 1707.762, 25.0, "Ra_c")
+        self.assertDelayedFailures()
+
+
+class Thermosyphon(NeklabTPUTestCase):
+    """Thermosyphon convecting base state via Newton + its spectrum
+    (reference examples/thermosyphon/baseflow)."""
+
+    def test_base_flow_and_spectrum(self):
+        res = self.run_example("thermosyphon_baseflow.py", [], timeout=6000)
+        if res.get("newton_converged") is not True:
+            self._delayed_failures.append(
+                f"newton did not converge: |F|={res.get('newton_residual')}")
+        self.assertIsNotNullDelayed(res.get("sigma1"), "leading eigenvalue")
+        if res.get("max_u") is not None and not res["max_u"] > 1e-3:
+            self._delayed_failures.append(
+                f"no convective motion: max|u|={res['max_u']}")
+        self.assertDelayedFailures()
