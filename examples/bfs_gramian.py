@@ -88,10 +88,25 @@ def main():
             tot += float(jnp.sum(resp[part]["u"] ** 2 * bm1))
         return tot
 
+    # resume: frequencies already in amplitude.dat are skipped (a retried
+    # run — flaky TPU backend — keeps its completed sweep points)
+    done_omegas = set()
     rows = []
+    if os.path.exists(amp_path):
+        with open(amp_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    done_omegas.add(round(float(parts[0]), 6))
+                    rows.append({"omega": float(parts[0]),
+                                 "half_sq_norm": float(parts[1]),
+                                 "resumed": True})
+        if done_omegas:
+            print(f"resuming: {sorted(done_omegas)} already done", flush=True)
+    omegas = [om for om in omegas if round(om, 6) not in done_omegas]
     x_warm = None
     t_all = time.time()
-    with open(amp_path, "w") as famp:
+    with open(amp_path, "a") as famp:
         for om in omegas:
             t0 = time.time()
             R = Resolvent(mesh, cfg, base_u, omega=om, cfl=0.5,

@@ -82,10 +82,12 @@ def linear_stability_analysis_fixed_point(
     seed: int = 1234,
     checkpoint: str | None = None,
     checkpoint_every: int = 8,
+    check_every: int = 8,
 ) -> StabilityResult:
     """Arnoldi/Krylov-Schur eigensolve of exp(tau A); eigenvalues mapped back
     by lambda = log(mu)/tau (neklab_analysis.f90:84). checkpoint: Arnoldi
-    kill-and-resume state file (see krylov.eigs)."""
+    kill-and-resume state file; check_every: early-exit cadence (krylov.eigs —
+    note tol is a RESIDUAL tolerance; eigenvalue error ~ kappa(mu) * tol)."""
     t0 = time.time()
     prefix = "adj" if adjoint else "dir"
 
@@ -107,6 +109,7 @@ def linear_stability_analysis_fixed_point(
             seed=seed,
             checkpoint=checkpoint,
             checkpoint_every=checkpoint_every,
+            check_every=check_every,
         )
     lam = np.log(res.eigvals.astype(complex)) / exptA.tau
     elapsed = time.time() - t0

@@ -173,6 +173,16 @@ def eigs(
     maxiter counts restart cycles of dimension kdim. `callback(cycle, result)`
     is invoked after each cycle (the reference's write_intermediate hook).
 
+    ACCURACY SEMANTICS: `tol` bounds the RITZ RESIDUAL ||A x - mu x|| / ||x||,
+    not the eigenvalue error. For a non-normal operator the eigenvalue error
+    is ~ kappa(mu) * residual, where kappa(mu) = 1/|<w, x>| is the eigenvalue
+    condition number (left/right eigenvector angle). On e.g. the cylinder
+    propagator kappa ~ 40, so hitting a 1e-4 oracle band requires
+    tol <~ 1e-6, NOT 1e-5 (the round-3 adjoint parity lesson). The
+    early-exit (check_every) and Schur locking paths commit only O(tol)
+    perturbations — pinned by tests/test_krylov.py's non-normal
+    locking/early-exit regression.
+
     check_every: test convergence of the projected problem every so many
     Arnoldi columns DURING expansion and stop the cycle early once all nev
     wanted pairs are converged (0 = only at kdim) — at kdim=512 with
@@ -187,8 +197,10 @@ def eigs(
     Arnoldi columns and at every Krylov-Schur restart — so a long eigensolve
     (kdim x O(10^3)-step matvecs) killed mid-cycle loses at most
     checkpoint_every matvecs. The file records a problem fingerprint
-    (kdim/nev/seed/`tag`) validated at resume, and is deleted on successful
-    return so a later solve can never silently resume stale state.
+    (kdim/nev/seed/`tag`) validated at resume, and is deleted ON SUCCESS
+    ONLY, so a later solve can never silently resume stale state; a run that
+    exhausts its restart budget unconverged KEEPS the file and can be
+    resumed with a larger maxiter.
     Reference: the intermediate-spectrum / restart-basis tier
     (neklab_analysis.f90:80-81,327-330); this checkpoints the full
     factorization instead, which is strictly stronger.
@@ -268,9 +280,24 @@ def eigs(
             nev,
             float(res_sorted[:nev].max()),
         )
-        if conv.all() or cycle == maxiter - 1:
-            if checkpoint is not None and os.path.exists(checkpoint):
-                os.remove(checkpoint)
+        if conv.all() or cycle == maxiter - 1 or m - 2 < 1:
+            # m - 2 < 1: hard breakdown with rand_fn=None left a (near-)
+            # invariant subspace too small to restart — the size-m spectrum
+            # above IS the invariant-subspace result; return it rather than
+            # building a degenerate compressed factorization.
+            if checkpoint is not None:
+                if conv.all():
+                    # delete on success only: a run that exhausted its
+                    # restart budget keeps its factorization on disk so it
+                    # can be resumed with a larger maxiter (the kill-and-
+                    # resume contract of the checkpoint tier)
+                    if os.path.exists(checkpoint):
+                        os.remove(checkpoint)
+                else:
+                    _save_krylov_state(checkpoint, V, H, n_mv, fingerprint=fp)
+                    logger.info(
+                        "eigs: UNCONVERGED at maxiter=%d — checkpoint kept at "
+                        "%s for resume", maxiter, checkpoint)
             return result
 
         # ---- Krylov-Schur restart (with locking of converged blocks) ----

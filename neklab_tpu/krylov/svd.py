@@ -172,7 +172,12 @@ def svds(
                 logger.info("svds converged at m=%d", j + 1)
                 return done(_finalize(U, V, alphas[: j + 1], betas[: j + 1], nsv, n_mv))
 
-    return done(_finalize(U, V, alphas, betas, nsv, n_mv))
+    # kdim exhausted without meeting tol: KEEP the checkpoint (delete on
+    # success only — the factorization cost kdim fwd+adj integrations and
+    # must survive for resume/inspection; ADVICE r3)
+    if checkpoint is not None and U is not None:
+        _save_lanczos_state(checkpoint, U, V, alphas, betas, kdim, n_mv, fingerprint=fp)
+    return _finalize(U, V, alphas, betas, nsv, n_mv)
 
 
 def _bidiag(alphas: np.ndarray, betas: np.ndarray) -> np.ndarray:

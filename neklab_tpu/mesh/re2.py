@@ -265,6 +265,8 @@ def mesh_from_re2(
     tol: float = 1e-8,
     bc_fn=None,
     partition: int | None = None,
+    cache: bool = True,
+    cache_tag: str | None = None,
 ) -> SemMesh:
     """Read a .re2 file and build a SemMesh (general unstructured path).
 
@@ -279,7 +281,34 @@ def mesh_from_re2(
     element sharding over that many chips gets spatially compact subdomains
     (chip-local face partners). The permutation is recorded on the mesh
     (mesh.eperm); map file-ordered fields with mesh.core.from_file_order.
+
+    cache: persist the finished SemMesh under `.mesh_cache/` keyed on
+    (file bytes, order, dealias, dtype, tol, partition) — genmap's
+    build-once-use-many contract; cuts the ~85 s cold preprocessing of the
+    production cylinder mesh to ~1 s. When bc_fn is given the key cannot
+    hash the callback, so caching is skipped unless `cache_tag` names the
+    BC assignment uniquely (the caller's contract).
     """
+    cache_path = None
+    if cache and (bc_fn is None or cache_tag is not None):
+        from .cache import cache_key, default_cache_dir, load_semmesh, save_semmesh
+        import os as _os
+
+        # key on the EFFECTIVE dtype: without jax_enable_x64 a requested
+        # float64 silently builds float32 arrays — the cache entry must not
+        # alias the true-f64 build
+        eff_dtype = jnp.zeros((), dtype).dtype.name
+        key = cache_key(
+            path, order=order, dealias=dealias_order, dtype=eff_dtype,
+            tol=tol, partition=partition, bc_tag=cache_tag or "",
+        )
+        cache_path = _os.path.join(default_cache_dir(), f"re2_{key}.npz")
+        if _os.path.exists(cache_path):
+            try:
+                return load_semmesh(cache_path)
+            except Exception:  # corrupt/stale: rebuild
+                pass
+
     data = read_re2(path)
     n = order + 1
     nd = dealias_order + 1 if dealias_order is not None else None
@@ -425,5 +454,10 @@ def mesh_from_re2(
 
     geom = compute_geom(x, basis)
     bc_meta = (("re2", path.rsplit("/", 1)[-1]),)
-    return build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype,
+    mesh = build_mesh(geom, basis, gidx, vmask, pmask, tmask, bc=bc_meta, dtype=dtype,
                       eperm=eperm)
+    if cache_path is not None:
+        from .cache import save_semmesh
+
+        save_semmesh(cache_path, mesh)
+    return mesh

