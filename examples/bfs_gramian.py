@@ -67,6 +67,10 @@ def main():
 
     fc = FlowConfig(viscosity=1.0 / 600.0, dt=1e9, **tols)
     cfg = LinConfig(flow=fc)
+    # one preconditioner for the whole sweep (dt-invariant; resolvent.py)
+    from neklab_tpu.models.precond import build_e_preconditioner
+
+    pc_shared = build_e_preconditioner(mesh, 1.0)
 
     # actuator Gaussian (reference make_actuator, bfs.usr:58-71)
     x, y = mesh.x[0], mesh.x[1]
@@ -79,7 +83,7 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     amp_path = os.path.join(args.outdir, "amplitude.dat")
-    json_path = os.path.join(args.outdir, "BFS_GRAMIAN_r03.json")
+    json_path = os.path.join(args.outdir, "BFS_GRAMIAN_r04.json")
     bm1 = mesh.bm1
 
     def bnorm2(resp):
@@ -110,7 +114,8 @@ def main():
         for om in omegas:
             t0 = time.time()
             R = Resolvent(mesh, cfg, base_u, omega=om, cfl=0.5,
-                          gmres_kdim=args.kdim, gmres_rtol=args.rtol)
+                          gmres_kdim=args.kdim, gmres_rtol=args.rtol,
+                          pc_e=pc_shared)
             resp = R.matvec(forcing, x0=x_warm)
             x_warm = resp["re"]  # warm start for the next frequency
             a2 = 0.5 * bnorm2(resp)

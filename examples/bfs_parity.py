@@ -8,7 +8,7 @@ parity run). The Lanczos SVD stops as soon as the nsv gains converge (the
 reference's kdim=512 is a cap, not a cost), and checkpoints every few
 iterations so a killed run resumes.
 
-Outputs TRANSIENT_r03.json: leading optimal gains sigma_i = sqrt(max energy
+Outputs TRANSIENT_r04.json: leading optimal gains sigma_i = sqrt(max energy
 amplification G(tau)), residuals, matvec count.
 
 Usage: python examples/bfs_parity.py [--tau 18] [--kdim 512] [--out ...]

@@ -7,9 +7,9 @@ inner-tolerance scheduler. The committed artifacts there are the residual
 plots (residual_quadratic.png): the oracle is the residual HISTORY —
 superlinear (quadratic until inexact-solve floor) contraction to tol.
 
-Outputs NEWTON_r03.json with the residual history and contraction factors.
+Outputs NEWTON_r04.json with the residual history and contraction factors.
 
-Usage: python examples/cylinder_newton_re40.py [--out NEWTON_r03.json]
+Usage: python examples/cylinder_newton_re40.py [--out NEWTON_r04.json]
 """
 
 import argparse

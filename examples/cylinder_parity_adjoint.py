@@ -16,7 +16,7 @@ matching) diagonal-dominant.
 Usage:
     python examples/cylinder_parity.py --save-evec dir_evec.npz
     python examples/cylinder_parity_adjoint.py --direct-evec dir_evec.npz \
-        --out PARITY_r03_adj.json
+        --out PARITY_r04_adj.json
 """
 
 import argparse

@@ -16,7 +16,7 @@ oracle |mu1| = 1.0156 +- 1e-4 (reference adjoint case:
 
 Usage:
     python examples/cylinder_parity_adjoint_refine.py \
-        --evec .scratch/adj_evec.npz --out PARITY_r03_adj_f64.json
+        --evec artifacts/adj_evec.npz --out PARITY_r04_adj_f64.json
 """
 
 import argparse

@@ -15,8 +15,8 @@ discrete operator pair.
 
 Usage:
     python examples/cylinder_parity_biorth.py \
-        --direct-evec .scratch/dir_evec.npz --adjoint-evec .scratch/adj_evec.npz \
-        --out PARITY_r03_biorth.json
+        --direct-evec .scratch/dir_evec.npz --adjoint-evec artifacts/adj_evec.npz \
+        --out PARITY_r04_biorth.json
 """
 
 import argparse

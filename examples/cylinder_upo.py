@@ -13,7 +13,7 @@ Parity recipe (f32 TPU Newton, then f64 CPU refinement to tol <= 1e-6):
 
   python examples/cylinder_upo.py --save-state upo_f32.npz --out UPO_f32.json
   python examples/cylinder_upo.py --platform cpu --f64 --init-state upo_f32.npz \
-      --out UPO_r03.json
+      --out UPO_r04.json
 
 Usage: python examples/cylinder_upo.py [--re 180] [--platform cpu] [--f64]
 """

@@ -84,6 +84,7 @@ class Resolvent(LinearOperator):
         gmres_rtol: float = 1e-6,
         gmres_atol: float = 1e-12,
         precondition: bool = True,
+        pc_e=None,
     ):
         self.mesh = mesh
         self.omega = float(omega)
@@ -109,8 +110,11 @@ class Resolvent(LinearOperator):
 
         fc = self.cfg.flow
         g0 = _BDF[min(fc.torder, 3)][0]
-        self.pc_e = None
-        if precondition:
+        # pc_e: pass a prebuilt preconditioner to share across a frequency
+        # sweep — E(dt) = (dt/g0) E(1) exactly and PCG is invariant to scalar
+        # scaling of the preconditioner, so one build serves every omega.
+        self.pc_e = pc_e
+        if precondition and self.pc_e is None:
             from ..models.precond import build_e_preconditioner
 
             self.pc_e = build_e_preconditioner(mesh, self.dt / (g0 * fc.rho))

@@ -44,6 +44,7 @@ class FixedPointSystem(NonlinearSystem):
         cfl: float = 0.4,
         dt: float | None = None,
         exact_jacobian: bool = False,
+        precondition: bool = True,
     ):
         self.mesh = mesh
         self.base_cfg = cfg
@@ -54,6 +55,14 @@ class FixedPointSystem(NonlinearSystem):
         self._fixed_dt = dt
         self.exact_jacobian = exact_jacobian
         self._cfg_cache: dict = {}
+        # ONE preconditioner serves every CFL-derived dt: E(dt) = (dt/g0) E(1)
+        # exactly, and PCG is invariant to scalar scaling of the
+        # preconditioner, so quality is dt-independent (precond.py).
+        self.pc_e = None
+        if precondition:
+            from ..models.precond import build_e_preconditioner
+
+            self.pc_e = build_e_preconditioner(mesh, 1.0)
 
     def _derive(self, u):
         """(cfg, nsteps) with dt from the CFL contract against iterate u."""
@@ -70,7 +79,8 @@ class FixedPointSystem(NonlinearSystem):
     def advance_map(self, x: dict) -> dict:
         cfg, nsteps = self._derive(x["u"])
         st = initial_state(self.mesh, cfg.flow, u=x["u"], theta=x["theta"])
-        out = advance(self.mesh, cfg.flow, st, nsteps, ub=self.ub, tb=self.tb)
+        out = advance(self.mesh, cfg.flow, st, nsteps, ub=self.ub, tb=self.tb,
+                      pc_e=self.pc_e)
         return {"u": out.u, "theta": out.theta}
 
     def response(self, x: dict) -> dict:
@@ -81,29 +91,32 @@ class FixedPointSystem(NonlinearSystem):
         cfg, nsteps = self._derive(x["u"])
         if self.exact_jacobian:
             return _ExactJacobian(self, x, cfg, nsteps)
-        return _FrozenJacobian(self.mesh, cfg, x, nsteps)
+        return _FrozenJacobian(self.mesh, cfg, x, nsteps, pc_e=self.pc_e)
 
 
 class _FrozenJacobian(LinearOperator):
     """[exp(tau J_X) - I] dx with frozen base flow X (reference semantics)."""
 
-    def __init__(self, mesh, cfg: LinConfig, x, nsteps):
+    def __init__(self, mesh, cfg: LinConfig, x, nsteps, pc_e=None):
         self.mesh = mesh
         self.cfg = cfg
         self.x = x
         self.nsteps = nsteps
+        self.pc_e = pc_e
         self._adj = None
 
     def matvec(self, dx):
         u, theta = propagate(
-            self.mesh, self.cfg, self.x["u"], self.x["theta"], dx["u"], dx["theta"], self.nsteps
+            self.mesh, self.cfg, self.x["u"], self.x["theta"], dx["u"], dx["theta"], self.nsteps,
+            pc_e=self.pc_e,
         )
         return {"u": u - dx["u"], "theta": theta - dx["theta"]}
 
     def rmatvec(self, dx):
         if self._adj is None:
             self._adj = make_adjoint_propagator(
-                self.mesh, self.cfg, self.x["u"], self.x["theta"], self.nsteps
+                self.mesh, self.cfg, self.x["u"], self.x["theta"], self.nsteps,
+                pc_e=self.pc_e,
             )
         u, theta = self._adj(dx["u"], dx["theta"])
         return {"u": u - dx["u"], "theta": theta - dx["theta"]}
@@ -122,7 +135,8 @@ class _ExactJacobian(LinearOperator):
     def _phi(self, u, theta):
         st = initial_state(self.system.mesh, self.cfg.flow, u=u, theta=theta)
         out = advance(
-            self.system.mesh, self.cfg.flow, st, self.nsteps, ub=self.system.ub, tb=self.system.tb
+            self.system.mesh, self.cfg.flow, st, self.nsteps, ub=self.system.ub,
+            tb=self.system.tb, pc_e=self.system.pc_e,
         )
         return out.u, out.theta
 

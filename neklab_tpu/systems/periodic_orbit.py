@@ -46,11 +46,18 @@ class PeriodicOrbitSystem(NonlinearSystem):
         tb=None,
         cfl: float = 0.4,
         nsteps: int | None = None,
+        precondition: bool = True,
     ):
         self.mesh = mesh
         self.cfg = cfg
         self.ub = ub
         self.tb = tb
+        # one dt-independent preconditioner (see FixedPointSystem note)
+        self.pc_e = None
+        if precondition:
+            from ..models.precond import build_e_preconditioner
+
+            self.pc_e = build_e_preconditioner(mesh, 1.0)
         if nsteps is None:
             # fixed step count from the initial period guess + CFL bound with
             # unit velocity scale; dt tracks T/nsteps thereafter
@@ -63,7 +70,8 @@ class PeriodicOrbitSystem(NonlinearSystem):
         fc = self.cfg.flow
         st = initial_state(self.mesh, fc, u=u, theta=theta)
         out = advance(
-            self.mesh, fc, st, self.nsteps, ub=self.ub, tb=self.tb, dt=T / self.nsteps
+            self.mesh, fc, st, self.nsteps, ub=self.ub, tb=self.tb,
+            dt=T / self.nsteps, pc_e=self.pc_e,
         )
         return out.u, out.theta
 
@@ -84,7 +92,8 @@ class PeriodicOrbitSystem(NonlinearSystem):
         fc = self.cfg.flow
         st = initial_state(self.mesh, fc, u=x["u"], theta=x["theta"])
         dt = x["T"] / self.nsteps
-        out = advance(self.mesh, fc, st, 1, ub=self.ub, tb=self.tb, dt=dt)
+        out = advance(self.mesh, fc, st, 1, ub=self.ub, tb=self.tb, dt=dt,
+                      pc_e=self.pc_e)
         return {"u": (out.u - x["u"]) / dt, "theta": (out.theta - x["theta"]) / dt}
 
     def jacobian(self, x: dict) -> LinearOperator:
