@@ -59,3 +59,32 @@ def test_resolvent_hermitian_adjoint():
     lhs = space.dot(R.matvec(f), g)
     rhs = space.dot(f, R.rmatvec(g))
     assert abs(lhs - rhs) / abs(lhs) < 1e-7, (lhs, rhs)
+
+
+def test_resolvent_prebuilt_pc_matches():
+    """A Resolvent given a prebuilt (dt-invariant) preconditioner must give
+    the same response as one that builds its own — PCG is invariant to the
+    scalar dt-scaling of the preconditioner (the gramian sweep relies on
+    this to build once for 15 frequencies)."""
+    from neklab_tpu.models.precond import build_e_preconditioner
+
+    mesh = box_mesh(
+        (3, 3), ((0, 2 * np.pi), (0, 2 * np.pi)),
+        {"x-": "P", "x+": "P", "y-": "P", "y+": "P"}, order=5,
+    )
+    nu = 0.1
+    cfg = LinConfig(flow=FlowConfig(viscosity=nu, dt=1.0, vtol=1e-11, ptol=1e-11))
+    U = jnp.zeros((2,) + mesh.bm1.shape)
+    x, y = mesh.x[0], mesh.x[1]
+    fmode = jnp.stack([jnp.sin(x) * jnp.cos(y), -jnp.cos(x) * jnp.sin(y)])
+    zero = jnp.zeros((0,) + mesh.bm1.shape)
+    f = {"re": {"u": fmode, "theta": zero}, "im": {"u": 0 * fmode, "theta": zero}}
+    pc1 = build_e_preconditioner(mesh, 1.0)  # arbitrary scale
+    Ra = Resolvent(mesh, cfg, U, omega=1.3, dt=0.05, gmres_rtol=1e-9)
+    Rb = Resolvent(mesh, cfg, U, omega=1.3, dt=0.05, gmres_rtol=1e-9, pc_e=pc1)
+    xa = Ra.matvec(f)
+    xb = Rb.matvec(f)
+    for part in ("re", "im"):
+        da = np.asarray(xa[part]["u"])
+        db = np.asarray(xb[part]["u"])
+        assert np.abs(da - db).max() < 1e-7 * max(np.abs(da).max(), 1e-30)
