@@ -281,6 +281,63 @@ def _probe_e_blocks(mesh: SemMesh, adj, colors3):
     return W, nbr, slot, nbrs
 
 
+_PC_FIELDS = ("blocks_inv", "ec_inv", "agg_of_el", "eb_w", "eb_nbr",
+              "q1_vert", "q1_b4", "oas_binv", "oas_gin", "oas_win",
+              "oas_rev", "oas_wout")
+
+
+def _pc_cache_path(mesh: SemMesh, dt_over_g0, **params) -> str | None:
+    """Cache file path for a built preconditioner, keyed on the mesh's
+    numerical identity (connectivity + geometry + masks), the dt scale and
+    the build parameters. Same directory as the mesh cache."""
+    import hashlib
+    import os
+
+    if os.environ.get("NEKLAB_PRECOND_CACHE", "1") == "0":
+        return None
+    h = hashlib.sha256()
+    for arr in (mesh.gidx, mesh.bm1, mesh.bm2, mesh.binv, mesh.vmask, mesh.pmask):
+        a = np.asarray(arr)
+        h.update(a.tobytes())
+        h.update(str(a.dtype).encode())
+    h.update(repr((float(dt_over_g0), int(mesh.p_fixed),
+                   sorted(params.items()))).encode())
+    from ..mesh.cache import default_cache_dir
+
+    return os.path.join(default_cache_dir(), f"pc_{h.hexdigest()[:24]}.npz")
+
+
+def _pc_save(path: str, pc: "ETwoLevel") -> None:
+    import os
+
+    data = {}
+    for name in _PC_FIELDS:
+        v = getattr(pc, name)
+        if v is not None:
+            # npz cannot hold bfloat16 directly; store via uint16 view
+            a = np.asarray(v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v)
+            data[name] = a
+            data[name + "__bf16"] = np.asarray(v.dtype == jnp.bfloat16)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}.npz"
+    np.savez(tmp, **data)
+    os.replace(tmp, path)
+
+
+def _pc_load(path: str) -> "ETwoLevel":
+    with np.load(path) as z:
+        kw = {}
+        for name in _PC_FIELDS:
+            if name in z.files:
+                a = jnp.asarray(z[name])
+                if bool(z[name + "__bf16"]):
+                    a = a.astype(jnp.bfloat16)
+                kw[name] = a
+            else:
+                kw[name] = None
+    return ETwoLevel(**kw)
+
+
 def build_e_preconditioner(
     mesh: SemMesh,
     dt_over_g0: float,
@@ -327,6 +384,22 @@ def build_e_preconditioner(
     np2 = int(np.prod(mesh.bm2.shape[:-1]))  # pressure pts per element (element-last)
     nel = mesh.nel
     dtype = mesh.bm2.dtype
+
+    # persistent build cache (the colored probing + patch inversion costs
+    # ~2 min on the production mesh; reference analog: XXT setup is also
+    # build-once-use-many)
+    cache_path = _pc_cache_path(
+        mesh, dt_over_g0, coarse_max_dense=coarse_max_dense, local=str(local),
+        exact_blocks=str(exact_blocks), compress=str(compress),
+        coarse=str(coarse))
+    if cache_path is not None:
+        import os as _os
+
+        if _os.path.exists(cache_path):
+            try:
+                return _pc_load(cache_path)
+            except Exception:
+                pass
 
     eop = jax.jit(lambda q: stokes.e_op(mesh, q, dt_over_g0))
 
@@ -563,6 +636,10 @@ def build_e_preconditioner(
         B = 0.5 * (B + np.swapaxes(B, 1, 2))
         tr = np.trace(B, axis1=1, axis2=2) / nb2
         B += (1e-8 * np.maximum(tr, 1e-30))[:, None, None] * np.eye(nb2)[None]
+        # NOTE: inverted on the HOST in f64 deliberately — on TPU a device
+        # inversion would silently run in f32 (no f64 support), and the
+        # patch blocks are ill-conditioned enough that the inverse would
+        # lose several digits before the bf16 compression even starts.
         binv = np.linalg.inv(B)
         # reverse map: element f's own piece sits at slot 0 of its own
         # patch and at slot pos(f in patch(g)) of each face-neighbor g
@@ -599,7 +676,7 @@ def build_e_preconditioner(
     # cold — on top of the risk.) The LOCAL blocks (per-element / per-patch,
     # kappa bounded by the element problem) are safe to compress, and carry
     # much of the per-iteration HBM traffic.
-    return ETwoLevel(
+    pc = ETwoLevel(
         blocks_inv=jnp.asarray(blocks_inv, pdtype),
         ec_inv=jnp.asarray(ec_inv, dtype),
         agg_of_el=jnp.asarray(group_of_el, jnp.int32) if ngrp < nel else None,
@@ -608,3 +685,9 @@ def build_e_preconditioner(
         **q1,
         **oas,
     )
+    if cache_path is not None:
+        try:
+            _pc_save(cache_path, pc)
+        except Exception:
+            pass
+    return pc
