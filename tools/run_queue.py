@@ -27,10 +27,32 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _tpu_responsive(wait_s: int = 300) -> bool:
+    """After a TPU worker crash the NEXT process can wedge forever in backend
+    init while a later one succeeds — probe with a fresh throwaway process
+    until the device answers (observed failure mode, round 4)."""
+    deadline = time.time() + wait_s
+    while time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=90,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(10)
+    return False
+
+
 def run_job(job: dict, log_dir: str) -> dict:
     name = job["name"]
     attempts = int(job.get("attempts", 3))
     timeout = int(job.get("timeout", 3600))
+    # kill an attempt whose log grows by nothing for this long (wedged
+    # backend init / hung transfer) — checkpointed jobs resume cheaply
+    stall = int(job.get("stall_timeout", 900))
     done_file = job.get("done_file")
     if done_file and os.path.exists(os.path.join(REPO, done_file)):
         print(f"[queue] {name}: done_file exists, skipping", flush=True)
@@ -38,21 +60,43 @@ def run_job(job: dict, log_dir: str) -> dict:
 
     log_path = os.path.join(log_dir, f"{name}.log")
     for attempt in range(1, attempts + 1):
+        if not _tpu_responsive():
+            print(f"[queue] {name}: TPU unresponsive before attempt "
+                  f"{attempt}, proceeding anyway", flush=True)
         t0 = time.time()
         print(f"[queue] {name}: attempt {attempt}/{attempts} "
-              f"(timeout {timeout}s) -> {log_path}", flush=True)
+              f"(timeout {timeout}s, stall {stall}s) -> {log_path}", flush=True)
         with open(log_path, "a") as log:
             log.write(f"\n===== attempt {attempt} @ {time.strftime('%H:%M:%S')} =====\n")
             log.flush()
-            try:
-                proc = subprocess.run(
-                    job["cmd"], stdout=log, stderr=subprocess.STDOUT,
-                    timeout=timeout, cwd=REPO,
-                )
-                rc = proc.returncode
-            except subprocess.TimeoutExpired:
-                rc = -9
-                log.write(f"\n[queue] TIMEOUT after {timeout}s\n")
+            proc = subprocess.Popen(
+                job["cmd"], stdout=log, stderr=subprocess.STDOUT, cwd=REPO,
+            )
+            last_size = os.path.getsize(log_path)
+            last_change = time.time()
+            rc = None
+            while True:
+                try:
+                    rc = proc.wait(timeout=20)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                now = time.time()
+                size = os.path.getsize(log_path)
+                if size != last_size:
+                    last_size, last_change = size, now
+                if now - t0 > timeout:
+                    proc.kill()
+                    rc = -9
+                    log.write(f"\n[queue] TIMEOUT after {timeout}s\n")
+                    break
+                if now - last_change > stall:
+                    proc.kill()
+                    rc = -17
+                    log.write(f"\n[queue] STALLED (no output {stall}s)\n")
+                    break
+            if rc is None:
+                rc = proc.wait()
         dt = time.time() - t0
         if rc == 0:
             print(f"[queue] {name}: OK in {dt:.0f}s", flush=True)
