@@ -31,7 +31,12 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--tau", type=float, default=1.0, help="map horizon (endTime)")
     ap.add_argument("--tol", type=float, default=None,
-                    help="Newton tolerance (reference 1e-6; f32 default 3e-5)")
+                    help="Newton tolerance (reference 1e-6 in f64; f32 "
+                         "default 3e-4: the response is evaluated through "
+                         "f32 inner solves at vtol/ptol 3e-6, whose "
+                         "accumulated noise floors |F| at ~1.3e-4 — "
+                         "measured round 4 — so tighter f32 targets stall "
+                         "at the floor, not at the root)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -56,7 +61,7 @@ def main():
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     tols = dict(vtol=1e-9, ptol=1e-7) if args.f64 else dict(vtol=3e-6, ptol=3e-6)
-    tol = args.tol if args.tol is not None else (1e-6 if args.f64 else 3e-5)
+    tol = args.tol if args.tol is not None else (1e-6 if args.f64 else 3e-4)
 
     t0 = time.time()
     mesh = mesh_from_re2(f"{REF}/1cyl.re2", order=5, dealias_order=8, dtype=dtype)
@@ -95,6 +100,10 @@ def main():
         "residual_history": hist,
         "contraction_ratios": ratios,
         "superlinear": bool(len(ratios) >= 2 and ratios[1] < ratios[0]),
+        "f32_floor_note": "f32 inner solves (vtol/ptol 3e-6) floor the "
+                          "response norm near ~1.3e-4; the reference's 1e-6 "
+                          "target is an f64 number (run --f64 --platform "
+                          "cpu for the tight-tolerance variant)",
         "elapsed": elapsed,
         "mesh_seconds": t1 - t0,
     }

@@ -303,9 +303,24 @@ def make_adjoint_propagator(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, n
 
     @jax.jit
     def adjoint(v_u, v_theta):
-        wu, wt = transpose((mesh.bm1 * v_u, mesh.bm1 * v_theta))
-        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu)
-        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt)
+        # SCALE NORMALIZATION (exact by linearity): the cotangent seed
+        # bm1 * v is ~2-3 orders of magnitude smaller than the forward's
+        # O(1) fields (bm1 carries the element volumes), so the transposed
+        # inner solves — which stop at the same ABSOLUTE tolerances as the
+        # forward (Nek param(21)/(22) semantics) — would otherwise run at an
+        # effective RELATIVE tolerance 1e2-1e3 looser than the forward's.
+        # Measured on the cylinder adjoint parity (round 4): that loosening
+        # biased |mu1| by +1.6e-4 (out of the 1e-4 oracle band) while the
+        # direct run's bias was -1.5e-5. Rescaling the seed to the incoming
+        # vector's Euclidean magnitude and undoing it afterwards makes the
+        # adjoint solves exactly as accurate as the forward ones.
+        nv = jnp.sqrt(jnp.sum(v_u * v_u) + jnp.sum(v_theta * v_theta))
+        iu, it_ = mesh.bm1 * v_u, mesh.bm1 * v_theta
+        ni = jnp.sqrt(jnp.sum(iu * iu) + jnp.sum(it_ * it_))
+        c = jnp.where(ni > 0, nv / jnp.maximum(ni, 1e-300), 1.0)
+        wu, wt = transpose((c * iu, c * it_))
+        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu) / c
+        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt) / c
         return au, at
 
     return adjoint

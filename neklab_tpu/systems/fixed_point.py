@@ -149,7 +149,15 @@ class _ExactJacobian(LinearOperator):
     def rmatvec(self, dx):
         mesh = self.system.mesh
         _, vjp = jax.vjp(self._phi, self.x["u"], self.x["theta"])
-        wu, wt = vjp((mesh.bm1 * dx["u"], mesh.bm1 * dx["theta"]))
-        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu)
-        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt)
+        # scale-normalized cotangent seed (see models/linearized.py
+        # make_adjoint_propagator: bm1-scaled seeds otherwise run the
+        # transposed ABSOLUTE-tolerance inner solves orders of magnitude
+        # looser than the forward)
+        iu, it_ = mesh.bm1 * dx["u"], mesh.bm1 * dx["theta"]
+        nv = jnp.sqrt(jnp.sum(dx["u"] ** 2) + jnp.sum(dx["theta"] ** 2))
+        ni = jnp.sqrt(jnp.sum(iu * iu) + jnp.sum(it_ * it_))
+        c = jnp.where(ni > 0, nv / jnp.maximum(ni, 1e-300), 1.0)
+        wu, wt = vjp((c * iu, c * it_))
+        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu) / c
+        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt) / c
         return {"u": au - dx["u"], "theta": at - dx["theta"]}

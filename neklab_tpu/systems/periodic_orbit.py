@@ -146,9 +146,14 @@ class _UPOJacobian(LinearOperator):
         mesh = self.s.mesh
         if self._vjp is None:
             _, self._vjp = jax.vjp(self.s._phi, self.x["u"], self.x["theta"], self.x["T"])
-        wu, wt, _ = self._vjp((mesh.bm1 * v["u"], mesh.bm1 * v["theta"]))
-        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu)
-        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt)
+        # scale-normalized cotangent seed (see make_adjoint_propagator)
+        iu, it_ = mesh.bm1 * v["u"], mesh.bm1 * v["theta"]
+        nv = jnp.sqrt(jnp.sum(v["u"] ** 2) + jnp.sum(v["theta"] ** 2))
+        ni = jnp.sqrt(jnp.sum(iu * iu) + jnp.sum(it_ * it_))
+        cs = jnp.where(ni > 0, nv / jnp.maximum(ni, 1e-300), 1.0)
+        wu, wt, _ = self._vjp((cs * iu, cs * it_))
+        au = mesh.vmask * mesh.binv * sem.dssum(mesh, wu) / cs
+        at = mesh.tmask * mesh.binv * sem.dssum(mesh, wt) / cs
         c = self._phase_dir()
         b = self._period_dir()
         return {
@@ -179,8 +184,12 @@ class MonodromyOperator(LinearOperator):
     def rmatvec(self, v: dict) -> dict:
         mesh = self.s.mesh
         _, vjp = jax.vjp(self.s._phi, self.x["u"], self.x["theta"], self.x["T"])
-        wu, wt, _ = vjp((mesh.bm1 * v["u"], mesh.bm1 * v["theta"]))
+        iu, it_ = mesh.bm1 * v["u"], mesh.bm1 * v["theta"]
+        nv = jnp.sqrt(jnp.sum(v["u"] ** 2) + jnp.sum(v["theta"] ** 2))
+        ni = jnp.sqrt(jnp.sum(iu * iu) + jnp.sum(it_ * it_))
+        cs = jnp.where(ni > 0, nv / jnp.maximum(ni, 1e-300), 1.0)
+        wu, wt, _ = vjp((cs * iu, cs * it_))
         return {
-            "u": mesh.vmask * mesh.binv * sem.dssum(mesh, wu),
-            "theta": mesh.tmask * mesh.binv * sem.dssum(mesh, wt),
+            "u": mesh.vmask * mesh.binv * sem.dssum(mesh, wu) / cs,
+            "theta": mesh.tmask * mesh.binv * sem.dssum(mesh, wt) / cs,
         }
