@@ -38,6 +38,11 @@ def main():
                          "measured round 4 — so tighter f32 targets stall "
                          "at the floor, not at the root)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--vtol", type=float, default=None,
+                    help="inner velocity tolerance override (tightening to "
+                         "3e-7 lowers the f32 response floor ~10x and shows "
+                         "two more decades of Newton contraction)")
+    ap.add_argument("--ptol", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -61,6 +66,10 @@ def main():
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     tols = dict(vtol=1e-9, ptol=1e-7) if args.f64 else dict(vtol=3e-6, ptol=3e-6)
+    if args.vtol is not None:
+        tols["vtol"] = args.vtol
+    if args.ptol is not None:
+        tols["ptol"] = args.ptol
     tol = args.tol if args.tol is not None else (1e-6 if args.f64 else 3e-4)
 
     t0 = time.time()
