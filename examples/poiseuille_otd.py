@@ -59,6 +59,13 @@ def main():
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # TPU matmuls default to bf16 inputs; over O(10^4) steps the truncation
+    # noise keeps re-exciting decayed directions and contaminates the
+    # SLOWEST OTD mode's Rayleigh quotient at the 1e-3 level (measured:
+    # Re=500 leading rate -0.00602 vs -0.00493 analytic; CPU f32 identical
+    # config matches to 3e-6). Full-f32 matmuls fix it; negligible cost at
+    # this problem size.
+    jax.config.update("jax_default_matmul_precision", "float32")
 
     import numpy as np
     import jax.numpy as jnp

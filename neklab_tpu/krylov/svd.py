@@ -160,6 +160,11 @@ def svds(
         w, b = space.normalize(w)
         betas[j] = b
         V.append(w)
+        # progress heartbeat: each iteration is a fwd+adj integration pair
+        # (O(10^3) steps each on production cases) — long-run monitoring and
+        # the queue's stall watchdog both need a line per iteration
+        logger.info("svds iter %d: alpha=%.6e beta=%.6e (%d matvecs)",
+                    j, a, b, n_mv)
 
         if checkpoint is not None and checkpoint_every and (j + 1) % checkpoint_every == 0:
             _save_lanczos_state(checkpoint, U, V, alphas, betas, j + 1, n_mv, fingerprint=fp)
