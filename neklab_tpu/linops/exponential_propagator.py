@@ -42,7 +42,17 @@ class ExponentialPropagator(LinearOperator):
         cfl: float = 0.5,
         dt: float | None = None,
         precondition: bool = True,
+        adjoint_tol_factor: float = 0.1,
     ):
+        """adjoint_tol_factor: the transposed implicit solves inherit the
+        FORWARD program's tolerances (custom_linear_solve re-solves with the
+        same closure), and adjoint Ritz values are measurably more sensitive
+        to that truncation than direct ones (round-4 cylinder study: the
+        remaining adjoint bias tracked the inner tolerance). The adjoint is
+        therefore transposed from a forward program whose vtol/ptol are
+        scaled by this factor (default 10x tighter; ~1.3x adjoint matvec
+        cost). Set to 1.0 for the exact transpose of the forward matvec's
+        own program."""
         self.mesh = mesh
         self.base_u = base_u
         self.base_theta = (
@@ -74,6 +84,15 @@ class ExponentialPropagator(LinearOperator):
             helmholtz_diag(mesh, fc.conductivity[i], g0 / fc.dt, mesh.tmask)
             for i in range(fc.nscal)
         ] or None
+        import dataclasses as _dc
+
+        f = float(adjoint_tol_factor)
+        self.cfg_adj = (
+            self.cfg if f == 1.0 else _dc.replace(
+                self.cfg,
+                flow=_dc.replace(self.cfg.flow, vtol=fc.vtol * f, ptol=fc.ptol * f),
+            )
+        )
         self._adjoint = None
 
     def matvec(self, x: dict) -> dict:
@@ -86,7 +105,7 @@ class ExponentialPropagator(LinearOperator):
     def rmatvec(self, x: dict) -> dict:
         if self._adjoint is None:
             self._adjoint = make_adjoint_propagator(
-                self.mesh, self.cfg, self.base_u, self.base_theta, self.nsteps,
+                self.mesh, self.cfg_adj, self.base_u, self.base_theta, self.nsteps,
                 pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
             )
         u, theta = self._adjoint(x["u"], x["theta"])
