@@ -71,6 +71,10 @@ def _expand_krylov(
         n_mv += 1
         w, h = V.orthogonalize(w, passes=2)
         w, beta = space.normalize(w)
+        if not (np.all(np.isfinite(h)) and np.isfinite(beta)):
+            raise FloatingPointError(
+                f"eigs: non-finite Arnoldi coefficients at column {j} — the "
+                "operator returned NaN/Inf (corrupt device context?)")
         H[: j + 1, j] = h
         H[j + 1, j] = beta
         if beta < breakdown_tol:

@@ -151,6 +151,11 @@ def svds(
             U = KrylovBasis(space, u, kdim + 1)
         u, _ = U.orthogonalize(u, passes=2)
         u, a = space.normalize(u)
+        if not np.isfinite(a):
+            raise FloatingPointError(
+                f"svds: non-finite alpha at iteration {j} — the operator "
+                "returned NaN/Inf (on flaky accelerators this is a corrupt "
+                "device context; retry on a clean one)")
         alphas[j] = a
         U.append(u)
 
@@ -158,6 +163,9 @@ def svds(
         n_mv += 1
         w, _ = V.orthogonalize(w, passes=2)
         w, b = space.normalize(w)
+        if not np.isfinite(b):
+            raise FloatingPointError(
+                f"svds: non-finite beta at iteration {j} (see alpha guard)")
         betas[j] = b
         V.append(w)
         # progress heartbeat: each iteration is a fwd+adj integration pair

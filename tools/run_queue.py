@@ -35,8 +35,10 @@ def _tpu_responsive(wait_s: int = 300) -> bool:
     while time.time() < deadline:
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=90,
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "assert float(jnp.arange(8.0).sum()) == 28.0"],
+                capture_output=True, timeout=120,
             )
             if r.returncode == 0:
                 return True
