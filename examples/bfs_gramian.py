@@ -28,6 +28,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REF = "/root/reference/examples/back_fstep/gramian"
 
 
+def _bfs_bc(c):
+    """usrdat2-analog BC assignment for the gmsh-imported bfs.re2 (all of
+    whose boundary faces ship as 'MSH' placeholders — reference
+    bfs.geo Physical Curves: Inflow x=-20, Outflow x=100, Sym top, Wall
+    step/bottom; without this the mesh has NO Dirichlet faces and the
+    linearized problem grows unbounded)."""
+    if abs(c[0] - (-20.0)) < 1e-6:
+        return "v"
+    if abs(c[0] - 100.0) < 1e-6:
+        return "O"
+    if c[1] > 19.0:
+        return "SYM"
+    return "W"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f64", action="store_true")
@@ -60,7 +75,8 @@ def main():
     tols = dict(vtol=1e-8, ptol=1e-6) if args.f64 else dict(vtol=3e-6, ptol=3e-6)
     omegas = args.omegas or [0.2 * i for i in range(1, 16)]
 
-    mesh = mesh_from_re2(f"{REF}/bfs.re2", order=5, dealias_order=8, dtype=dtype)
+    mesh = mesh_from_re2(f"{REF}/bfs.re2", order=5, dealias_order=8, dtype=dtype,
+                         bc_fn=_bfs_bc, cache_tag="bfs-usrdat2-v1")
     bf = read_fld(f"{REF}/BF_bfs0.f00001")
     base_u = jnp.asarray(bf.u, dtype)
     print(f"mesh: {mesh.nel} elements; base flow t={bf.time}", flush=True)
