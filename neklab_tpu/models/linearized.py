@@ -431,3 +431,119 @@ def propagate_forced(
         carry, _ = lax.scan(body, carry, None, length=remaining)
         state = carry[0]
     return state.u, state.theta
+
+
+# ---------------------------------------------------------------------------
+# chunked propagation: bounded-size compiled programs for long horizons
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "ramp"))
+def propagate_chunk(mesh: SemMesh, cfg: LinConfig, base_u, base_theta,
+                    state: PertState, nsteps: int, ramp: bool,
+                    pc_e=None, vdiag=None, tdiags=None) -> PertState:
+    """nsteps of the linearized solver on a FULL PertState (BDF ramp only
+    when `ramp`). Chunking rationale: a single monolithic scan over O(10^3)
+    steps compiles fine FORWARD, but its linear_transpose is a program the
+    TPU compiler demonstrably cannot handle at production sizes (the BFS
+    tau=18 adjoint at 2611 steps reliably crashed the worker during
+    compilation, 4/4 attempts). Chunks bound the compiled program size; the
+    full map is the chunk composition and its adjoint the reversed chain of
+    chunk transposes (exactly equal — the map is linear)."""
+    fc = cfg.flow
+    tmax = min(fc.torder, 3)
+    vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
+        mesh, fc.viscosity, fc.rho * _BDF[tmax][0] / fc.dt, mesh.vmask
+    )
+    tdiags3 = tdiags if tdiags is not None else ([
+        helmholtz_diag(mesh, fc.conductivity[i], _BDF[tmax][0] / fc.dt, mesh.tmask)
+        for i in range(fc.nscal)
+    ] or None)
+    ccache = sem.lin_convect_cache(mesh, base_u, base_theta if fc.nscal else None)
+
+    n_ramp = min(fc.torder - 1, nsteps) if ramp else 0
+    for k in range(n_ramp):
+        state = step_lin(mesh, cfg, state, base_u, base_theta, order=k + 1,
+                         pc_e=pc_e, vdiag=vdiag3, tdiags=tdiags3, conv_cache=ccache)
+    remaining = nsteps - n_ramp
+    if remaining > 0:
+        def body(st, _):
+            st = step_lin(mesh, cfg, st, base_u, base_theta, order=tmax,
+                          vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
+                          conv_cache=ccache)
+            return st, None
+
+        state, _ = lax.scan(body, state, None, length=remaining)
+    return state
+
+
+def _chunk_plan(nsteps: int, chunk: int) -> list:
+    """[(len, ramp)] chunks: first carries the ramp; at most 3 distinct
+    (len, ramp) signatures => at most 3 compiled programs each direction."""
+    plan = []
+    done = 0
+    while done < nsteps:
+        k = min(chunk, nsteps - done)
+        plan.append((k, done == 0))
+        done += k
+    # merge a short trailing remainder into at most one distinct extra size
+    return plan
+
+
+def propagate_chunked(mesh: SemMesh, cfg: LinConfig, base_u, base_theta,
+                      u0, theta0, nsteps: int, chunk: int = 512,
+                      pc_e=None, vdiag=None, tdiags=None):
+    """Chunk-composed equivalent of `propagate` (bitwise-equal up to reorder
+    of identical programs)."""
+    state = pert_initial(mesh, cfg, u0, theta0)
+    for k, ramp in _chunk_plan(nsteps, chunk):
+        state = propagate_chunk(mesh, cfg, base_u, base_theta, state, k, ramp,
+                                pc_e=pc_e, vdiag=vdiag, tdiags=tdiags)
+    return state.u, state.theta
+
+
+def make_adjoint_propagator_chunked(mesh: SemMesh, cfg: LinConfig, base_u,
+                                    base_theta, nsteps: int, chunk: int = 512,
+                                    pc_e=None, vdiag=None, tdiags=None):
+    """Exact discrete B-adjoint of `propagate_chunked`: the reversed chain of
+    per-chunk linear transposes (same scale normalization as
+    make_adjoint_propagator). Compiles at most 3 transposed chunk programs
+    regardless of nsteps."""
+    shape = mesh.bm1.shape
+    dtype = mesh.bm1.dtype
+    nd, ns, no = mesh.ndim, cfg.nscal, cfg.flow.torder - 1
+    sds = lambda sh: jax.ShapeDtypeStruct(sh, dtype)
+    state_ex = PertState(
+        u=sds((nd,) + shape), p=sds(mesh.bm2.shape),
+        theta=sds((ns,) + shape),
+        ulag=sds((no, nd) + shape), nlag=sds((no, nd) + shape),
+        tlag=sds((no, ns) + shape), ntlag=sds((no, ns) + shape),
+        plag=sds((1,) + mesh.bm2.shape),
+    )
+    plan = _chunk_plan(nsteps, chunk)
+    transposes = {}
+    for k, ramp in plan:
+        if (k, ramp) not in transposes:
+            fn = lambda st, _k=k, _r=ramp: propagate_chunk(
+                mesh, cfg, base_u, base_theta, st, _k, _r,
+                pc_e=pc_e, vdiag=vdiag, tdiags=tdiags)
+            transposes[(k, ramp)] = jax.linear_transpose(fn, state_ex)
+
+    zeros_state = jax.tree_util.tree_map(
+        lambda l: jnp.zeros(l.shape, l.dtype), state_ex)
+
+    def adjoint(v_u, v_theta):
+        # scale normalization: see make_adjoint_propagator
+        nv = jnp.sqrt(jnp.sum(v_u * v_u) + jnp.sum(v_theta * v_theta))
+        iu, it_ = mesh.bm1 * v_u, mesh.bm1 * v_theta
+        ni = jnp.sqrt(jnp.sum(iu * iu) + jnp.sum(it_ * it_))
+        c = jnp.where(ni > 0, nv / jnp.maximum(ni, 1e-300), 1.0)
+        ct = dataclasses.replace(zeros_state, u=c * iu, theta=c * it_)
+        for k, ramp in reversed(plan):
+            (ct,) = transposes[(k, ramp)](ct)
+        # transpose of pert_initial's embedding: keep the u/theta cotangents
+        au = mesh.vmask * mesh.binv * sem.dssum(mesh, ct.u) / c
+        at = mesh.tmask * mesh.binv * sem.dssum(mesh, ct.theta) / c
+        return au, at
+
+    return adjoint

@@ -119,3 +119,42 @@ def test_projected_propagator_alpha1(poiseuille):
     assert abs(abs(lam.imag) - abs(oracle.imag)) < 2e-4
     # the alpha=0 shear modes (leading unprojected) must be absent
     assert abs(lam.real - (-(1 / RE) * (np.pi / 2) ** 2)) > 1e-2
+
+
+def test_chunked_propagator_matches_and_adjoint_identity():
+    """propagate_chunked == propagate exactly (same step composition), and
+    its chain-transposed adjoint satisfies <Mu, v>_B = <u, M*v>_B — the
+    bounded-compile path for long horizons (the BFS tau=18 adjoint at 2611
+    steps crashes the TPU compiler as ONE program; chunks are the fix)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neklab_tpu.mesh.box import box_mesh
+    from neklab_tpu.models.linearized import (
+        LinConfig, make_adjoint_propagator_chunked, propagate, propagate_chunked,
+    )
+    from neklab_tpu.models.navier_stokes import FlowConfig
+    from neklab_tpu.ops import sem
+
+    mesh = box_mesh((4, 3), ((0, 2 * np.pi), (-1, 1)),
+                    {"x-": "P", "x+": "P", "y-": "W", "y+": "W"}, order=4)
+    fc = FlowConfig(viscosity=1e-2, dt=2e-2, vtol=1e-12, ptol=1e-11)
+    cfg = LinConfig(flow=fc)
+    y = mesh.x[1]
+    base_u = jnp.stack([1 - y**2, 0 * y])
+    th = jnp.zeros((0,) + mesh.bm1.shape)
+    key = jax.random.PRNGKey(0)
+    u0 = mesh.vmask * jax.random.normal(key, (2,) + mesh.bm1.shape)
+    v0 = mesh.vmask * jax.random.normal(jax.random.PRNGKey(1), (2,) + mesh.bm1.shape)
+
+    nsteps = 11
+    ref_u, _ = propagate(mesh, cfg, base_u, th, u0, th, nsteps)
+    chk_u, _ = propagate_chunked(mesh, cfg, base_u, th, u0, th, nsteps, chunk=4)
+    assert np.abs(np.asarray(ref_u) - np.asarray(chk_u)).max() < 1e-13
+
+    adj = make_adjoint_propagator_chunked(mesh, cfg, base_u, th, nsteps, chunk=4)
+    wu, _ = adj(v0, th)
+    lhs = float(sem.mass_dot(mesh, ref_u, v0))
+    rhs = float(sem.mass_dot(mesh, u0, wu))
+    assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0), (lhs, rhs)
