@@ -28,21 +28,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REF = "/root/reference/examples/back_fstep/gramian"
 
 
-def _bfs_bc(c):
-    """usrdat2-analog BC assignment for the gmsh-imported bfs.re2 (all of
-    whose boundary faces ship as 'MSH' placeholders — reference
-    bfs.geo Physical Curves: Inflow x=-20, Outflow x=100, Sym top, Wall
-    step/bottom; without this the mesh has NO Dirichlet faces and the
-    linearized problem grows unbounded)."""
-    if abs(c[0] - (-20.0)) < 1e-6:
-        return "v"
-    if abs(c[0] - 100.0) < 1e-6:
-        return "O"
-    if c[1] > 19.0:
-        return "SYM"
-    return "W"
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f64", action="store_true")
@@ -66,6 +51,7 @@ def main():
     import jax.numpy as jnp
 
     from neklab_tpu.linops.resolvent import Resolvent
+    from neklab_tpu.mesh.bfs import REFERENCE_BFS_CACHE_TAG, reference_bfs_bc
     from neklab_tpu.mesh.re2 import mesh_from_re2
     from neklab_tpu.models.linearized import LinConfig
     from neklab_tpu.models.navier_stokes import FlowConfig
@@ -76,7 +62,7 @@ def main():
     omegas = args.omegas or [0.2 * i for i in range(1, 16)]
 
     mesh = mesh_from_re2(f"{REF}/bfs.re2", order=5, dealias_order=8, dtype=dtype,
-                         bc_fn=_bfs_bc, cache_tag="bfs-usrdat2-v1")
+                         bc_fn=reference_bfs_bc, cache_tag=REFERENCE_BFS_CACHE_TAG)
     bf = read_fld(f"{REF}/BF_bfs0.f00001")
     base_u = jnp.asarray(bf.u, dtype)
     print(f"mesh: {mesh.nel} elements; base flow t={bf.time}", flush=True)
@@ -99,7 +85,7 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     amp_path = os.path.join(args.outdir, "amplitude.dat")
-    json_path = os.path.join(args.outdir, "BFS_GRAMIAN_r04.json")
+    json_path = os.path.join(args.outdir, "BFS_GRAMIAN_r05.json")
     bm1 = mesh.bm1
 
     def bnorm2(resp):
@@ -148,6 +134,8 @@ def main():
                     "reference": "examples/back_fstep/gramian/bfs.usr:30-48 "
                                  "(omega=0.2i, i=1..15; amplitude.dat)",
                     "actuator": "vy Gaussian at (0.6, 1.0), width 0.6",
+                    "bc": "reference_bfs_bc (bfs.geo Physical Curves incl. "
+                          "upstream Sym floor; ADVICE r4 #1 fix)",
                     "Re": 600.0, "rtol": args.rtol, "kdim": args.kdim,
                     "dtype": str(getattr(dtype, "__name__", dtype)),
                     "sweep": rows,

@@ -27,21 +27,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REF = "/root/reference/examples/back_fstep/transient_growth"
 
 
-def _bfs_bc(c):
-    """usrdat2-analog BC assignment for the gmsh-imported bfs.re2 (all of
-    whose boundary faces ship as 'MSH' placeholders — reference
-    bfs.geo Physical Curves: Inflow x=-20, Outflow x=100, Sym top, Wall
-    step/bottom; without this the mesh has NO Dirichlet faces and the
-    linearized problem grows unbounded)."""
-    if abs(c[0] - (-20.0)) < 1e-6:
-        return "v"
-    if abs(c[0] - 100.0) < 1e-6:
-        return "O"
-    if c[1] > 19.0:
-        return "SYM"
-    return "W"
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f64", action="store_true")
@@ -68,6 +53,7 @@ def main():
 
     from neklab_tpu.analysis import transient_growth_analysis_fixed_point
     from neklab_tpu.linops.exponential_propagator import ExponentialPropagator
+    from neklab_tpu.mesh.bfs import REFERENCE_BFS_CACHE_TAG, reference_bfs_bc
     from neklab_tpu.mesh.re2 import mesh_from_re2
     from neklab_tpu.models.linearized import LinConfig
     from neklab_tpu.models.navier_stokes import FlowConfig
@@ -79,7 +65,7 @@ def main():
 
     t0 = time.time()
     mesh = mesh_from_re2(f"{REF}/bfs.re2", order=5, dealias_order=8, dtype=dtype,
-                         bc_fn=_bfs_bc, cache_tag="bfs-usrdat2-v1")
+                         bc_fn=reference_bfs_bc, cache_tag=REFERENCE_BFS_CACHE_TAG)
     bf = read_fld(f"{REF}/BF_bfs0.f00001")
     base_u = jnp.asarray(bf.u, dtype)
     t_mesh = time.time() - t0

@@ -24,9 +24,25 @@ import jax.numpy as jnp
 
 from ..krylov.linop import LinearOperator
 from ..mesh.core import SemMesh
-from ..models.linearized import LinConfig, make_adjoint_propagator, propagate
+from ..models.linearized import (
+    LinConfig,
+    make_adjoint_propagator,
+    make_adjoint_propagator_chunked,
+    propagate,
+    propagate_chunked,
+)
 from ..models.navier_stokes import FlowConfig
 from ..utils.timestep import cfl_dt, horizon_steps
+
+# Horizons beyond this many steps are propagated in bounded-size compiled
+# chunks: the monolithic scan compiles fine forward, but its linear_transpose
+# at O(10^3) steps is a program the TPU compiler demonstrably cannot handle
+# (the BFS tau=18 adjoint at 2611 steps crashed the worker 4/4 times during
+# compilation, round 4). Chunk composition is exactly equal to the monolithic
+# map (same step sequence), and the chain of chunk transposes is its exact
+# adjoint — so the switch is purely a compile-size decision.
+DEFAULT_CHUNK_THRESHOLD = 1024
+DEFAULT_CHUNK = 512
 
 
 class ExponentialPropagator(LinearOperator):
@@ -43,6 +59,7 @@ class ExponentialPropagator(LinearOperator):
         dt: float | None = None,
         precondition: bool = True,
         adjoint_tol_factor: float = 0.1,
+        chunk: int | None = None,
     ):
         """adjoint_tol_factor: the transposed implicit solves inherit the
         FORWARD program's tolerances (custom_linear_solve re-solves with the
@@ -52,7 +69,13 @@ class ExponentialPropagator(LinearOperator):
         therefore transposed from a forward program whose vtol/ptol are
         scaled by this factor (default 10x tighter; ~1.3x adjoint matvec
         cost). Set to 1.0 for the exact transpose of the forward matvec's
-        own program."""
+        own program.
+
+        chunk: steps per compiled chunk. None (default) auto-selects: the
+        monolithic single-program path for short horizons, DEFAULT_CHUNK-step
+        chunks once nsteps exceeds DEFAULT_CHUNK_THRESHOLD (bounds the
+        transposed-program size the TPU compiler must handle). 0 forces the
+        monolithic path; any positive value forces that chunk size."""
         self.mesh = mesh
         self.base_u = base_u
         self.base_theta = (
@@ -94,19 +117,37 @@ class ExponentialPropagator(LinearOperator):
             )
         )
         self._adjoint = None
+        if chunk is None:
+            self.chunk = DEFAULT_CHUNK if self.nsteps > DEFAULT_CHUNK_THRESHOLD else 0
+        else:
+            self.chunk = int(chunk)
 
     def matvec(self, x: dict) -> dict:
-        u, theta = propagate(
-            self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"], self.nsteps,
-            pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
-        )
+        if self.chunk:
+            u, theta = propagate_chunked(
+                self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"],
+                self.nsteps, chunk=self.chunk,
+                pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
+            )
+        else:
+            u, theta = propagate(
+                self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"], self.nsteps,
+                pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
+            )
         return {"u": u, "theta": theta}
 
     def rmatvec(self, x: dict) -> dict:
         if self._adjoint is None:
-            self._adjoint = make_adjoint_propagator(
-                self.mesh, self.cfg_adj, self.base_u, self.base_theta, self.nsteps,
-                pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
-            )
+            if self.chunk:
+                self._adjoint = make_adjoint_propagator_chunked(
+                    self.mesh, self.cfg_adj, self.base_u, self.base_theta, self.nsteps,
+                    chunk=self.chunk,
+                    pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
+                )
+            else:
+                self._adjoint = make_adjoint_propagator(
+                    self.mesh, self.cfg_adj, self.base_u, self.base_theta, self.nsteps,
+                    pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
+                )
         u, theta = self._adjoint(x["u"], x["theta"])
         return {"u": u, "theta": theta}

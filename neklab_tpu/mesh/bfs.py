@@ -100,3 +100,38 @@ def bfs_inflow(mesh: SemMesh, dtype=None) -> jnp.ndarray:
     y = mesh.x[1]
     prof = jnp.where(y > 0.0, 4.0 * y * (1.0 - y), 0.0)
     return jnp.stack([prof, jnp.zeros_like(prof)])
+
+
+# ---------------------------------------------------------------------------
+# BC classification for the REFERENCE rounded-BFS gmsh mesh (bfs.re2)
+# ---------------------------------------------------------------------------
+
+# cache_tag for mesh_from_re2 when using reference_bfs_bc; bump on any change
+# to the classification so stale .mesh_cache entries are invalidated.
+REFERENCE_BFS_CACHE_TAG = "bfs-usrdat2-v2"
+
+
+def reference_bfs_bc(c):
+    """usrdat2-analog BC assignment for the gmsh-imported reference `bfs.re2`
+    (all of whose boundary faces ship as 'MSH' placeholders). Classification
+    follows the Physical Curves of the reference bfs.geo exactly:
+
+      Inflow  (x = -20, y in [1, 20])           -> 'v'
+      Outflow (x = 100, y in [0, 20])           -> 'O'
+      Sym     = top (y = 20)  AND the upstream free-slip floor
+                (y = 1, x in [-20, -2]; geo Line 17 is part of
+                Physical Curve "Sym")           -> 'SYM'
+      Wall    = flat plate (y = 1, x in [-2, 0]), rounded step arc,
+                downstream floor (y = 0)        -> 'W'
+
+    Round-4 runs misclassified the upstream y=1 floor as 'W' (an 18-unit
+    spurious no-slip wall); ADVICE r4 #1. `c` is the face centroid."""
+    if abs(c[0] - (-20.0)) < 1e-6:
+        return "v"
+    if abs(c[0] - 100.0) < 1e-6:
+        return "O"
+    if c[1] > 19.0:
+        return "SYM"
+    if abs(c[1] - 1.0) < 1e-6 and c[0] < -2.0:
+        return "SYM"
+    return "W"

@@ -286,21 +286,30 @@ _PC_FIELDS = ("blocks_inv", "ec_inv", "agg_of_el", "eb_w", "eb_nbr",
               "oas_rev", "oas_wout")
 
 
+_PC_FORMAT = 2  # bump on any change to what the cached blob contains/means
+
+
 def _pc_cache_path(mesh: SemMesh, dt_over_g0, **params) -> str | None:
     """Cache file path for a built preconditioner, keyed on the mesh's
-    numerical identity (connectivity + geometry + masks), the dt scale and
-    the build parameters. Same directory as the mesh cache."""
+    numerical identity (connectivity + geometry incl. METRIC TERMS + masks),
+    the dt scale and the build parameters. Same directory as the mesh cache.
+
+    mesh.g must be in the key: the cached eb_w blocks are used as the real
+    pressure operator (navier_stokes.make_pressure_solver), and two meshes
+    with identical connectivity/mass matrices but different metrics (sheared
+    vs straight elements of equal jacobian) define different E (ADVICE r4)."""
     import hashlib
     import os
 
     if os.environ.get("NEKLAB_PRECOND_CACHE", "1") == "0":
         return None
     h = hashlib.sha256()
-    for arr in (mesh.gidx, mesh.bm1, mesh.bm2, mesh.binv, mesh.vmask, mesh.pmask):
+    for arr in (mesh.gidx, mesh.bm1, mesh.bm2, mesh.binv, mesh.vmask,
+                mesh.pmask, mesh.g):
         a = np.asarray(arr)
         h.update(a.tobytes())
         h.update(str(a.dtype).encode())
-    h.update(repr((float(dt_over_g0), int(mesh.p_fixed),
+    h.update(repr((_PC_FORMAT, float(dt_over_g0), int(mesh.p_fixed),
                    sorted(params.items()))).encode())
     from ..mesh.cache import default_cache_dir
 
@@ -558,7 +567,13 @@ def build_e_preconditioner(
             ve = q1_vert[e]
             for m, f in enumerate(nbrs_list[e]):
                 blk = b4.T @ W[e, m] @ b4  # [4, 4]
-                ec[np.ix_(ve, q1_vert[f])] += blk
+                # np.add.at, not fancy-indexed +=: periodic identification
+                # can collapse two corners of one element to the SAME vertex
+                # id (mesh one element wide across a periodic direction), and
+                # += silently drops duplicate contributions (ADVICE r4)
+                rows = np.repeat(ve, 4)
+                cols = np.tile(q1_vert[f], 4)
+                np.add.at(ec, (rows, cols), blk.reshape(-1))
         ec = 0.5 * (ec + ec.T)
         if mesh.p_fixed:
             # constants (in vertex space) span the nullspace; sigma-shift so

@@ -145,8 +145,12 @@ def test_chunked_propagator_matches_and_adjoint_identity():
     base_u = jnp.stack([1 - y**2, 0 * y])
     th = jnp.zeros((0,) + mesh.bm1.shape)
     key = jax.random.PRNGKey(0)
-    u0 = mesh.vmask * jax.random.normal(key, (2,) + mesh.bm1.shape)
-    v0 = mesh.vmask * jax.random.normal(jax.random.PRNGKey(1), (2,) + mesh.bm1.shape)
+    # the B-adjoint identity <Mu, v>_B = <u, M*v>_B holds on the CONFORMING
+    # (C0-continuous, masked) subspace the operator acts on — dsavg-project
+    # the raw random fields onto it (vmask*noise alone is multi-valued on
+    # shared faces and the identity degrades to O(1e-2))
+    u0 = mesh.vmask * sem.dsavg(mesh, mesh.vmask * jax.random.normal(key, (2,) + mesh.bm1.shape))
+    v0 = mesh.vmask * sem.dsavg(mesh, mesh.vmask * jax.random.normal(jax.random.PRNGKey(1), (2,) + mesh.bm1.shape))
 
     nsteps = 11
     ref_u, _ = propagate(mesh, cfg, base_u, th, u0, th, nsteps)
