@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--nsv", type=int, default=4)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--cfl", type=float, default=0.5)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="steps per compiled chunk (default: auto — chunked "
+                         "above 1024 steps; the monolithic tau=18 adjoint "
+                         "transpose crashes the TPU compiler)")
+    ap.add_argument("--adj-tol-factor", type=float, default=1.0,
+                    help="adjoint inner-solve tol scaling; 1.0 = exact "
+                         "transpose of the forward program (best B-symmetry "
+                         "of M*M for the Lanczos SVD, and ~2x cheaper "
+                         "rmatvecs than the eigen-parity default 0.1)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
@@ -73,8 +82,11 @@ def main():
 
     fc = FlowConfig(viscosity=1.0 / 600.0, dt=1e9, **tols)
     cfg = LinConfig(flow=fc)
-    expA = ExponentialPropagator(mesh, cfg, base_u, tau=args.tau, cfl=args.cfl)
-    print(f"propagator: dt={expA.dt:.6e}, nsteps={expA.nsteps}", flush=True)
+    expA = ExponentialPropagator(mesh, cfg, base_u, tau=args.tau, cfl=args.cfl,
+                                 chunk=args.chunk,
+                                 adjoint_tol_factor=args.adj_tol_factor)
+    print(f"propagator: dt={expA.dt:.6e}, nsteps={expA.nsteps}, "
+          f"chunk={expA.chunk}", flush=True)
 
     space = flow_vector_space(mesh, 0)
     t1 = time.time()
@@ -90,8 +102,12 @@ def main():
         "mesh": {"file": "bfs.re2", "nel": mesh.nel, "order": 5, "dealias_order": 8},
         "baseflow": {"file": "BF_bfs0.f00001", "time": bf.time},
         "setup": {"tau": args.tau, "cfl": args.cfl, "dt": expA.dt,
-                  "nsteps": expA.nsteps, "kdim": args.kdim, "nsv": args.nsv,
+                  "nsteps": expA.nsteps, "chunk": expA.chunk,
+                  "adj_tol_factor": args.adj_tol_factor,
+                  "kdim": args.kdim, "nsv": args.nsv,
                   "Re": 600.0, "tol": args.tol, **tols},
+        "bc": "reference_bfs_bc (bfs.geo Physical Curves incl. upstream Sym "
+              "floor; ADVICE r4 #1 fix)",
         "platform": jax.devices()[0].platform,
         "dtype": str(getattr(dtype, "__name__", dtype)),
         "sigma": [float(s) for s in res.sigma],
