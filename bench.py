@@ -177,6 +177,10 @@ def bench_cyl1996(jax, jnp):
     def prop(u):
         return propagate(mesh, cfg, base_u, th, u, th, nsteps, pc_e=pc, vdiag=vdiag)[0]
 
+    def prop_rec(u):
+        return propagate(mesh, cfg, base_u, th, u, th, nsteps, pc_e=pc, vdiag=vdiag,
+                         recycle=8)[0]
+
     t_prop0 = time.time()
     dt, dt_floor = _norm_time(jax, jnp, mesh, prop, u0)
     case = {"nel": mesh.nel, "order": 5, "dof": dof, "steps_per_call": nsteps,
@@ -189,6 +193,15 @@ def bench_cyl1996(jax, jnp):
             if pc.eb_w is not None else "matrix-free chain",
             "setup_seconds": {"mesh": t_mesh, "preconditioner": t_pc,
                               "propagate_compile+time": time.time() - t_prop0}}
+
+    # recycled path (Nek residual projection, recycle=8): same map to solver
+    # tolerance, fewer E iterations — report alongside the plain path
+    try:
+        dt_rec, _ = _norm_time(jax, jnp, mesh, prop_rec, u0)
+        case["s_per_step_recycle8"] = dt_rec / nsteps
+        case["dof_steps_per_s_recycle8"] = dof * nsteps / dt_rec
+    except Exception as e:  # pragma: no cover
+        case["recycle_error"] = str(e)[:200]
 
     # ---- model-FLOPs / MFU from XLA cost analysis (may be absent on some
     # backends) ----
@@ -404,12 +417,13 @@ def main():
         results[name] = _run_phase_subprocess(name, attempts=attempts)
 
     box2d, cyl, box3d = results["box2d"], results["cyl1996"], results["box3d"]
-    # headline = the round-1 trend case; fall back to any phase that survived.
-    # vs_baseline is only meaningful against the box2d trend case (the round-1
-    # baseline IS a box2d number) — if box2d crashed, report null rather than a
-    # fake ratio from a different-sized case (ADVICE r4).
+    # headline = the REFERENCE-SCALE case (cyl1996 — the mesh the reference's
+    # own examples run); fall back to any phase that survived. vs_baseline is
+    # only meaningful against the box2d trend case (the round-1 baseline IS a
+    # box2d number) — if box2d crashed, report null rather than a fake ratio
+    # from a different-sized case (ADVICE r4).
     headline_case = next(
-        (n for n, c in (("box2d", box2d), ("cyl1996", cyl), ("box3d", box3d))
+        (n for n, c in (("cyl1996", cyl), ("box2d", box2d), ("box3d", box3d))
          if "dof_steps_per_s" in c),
         None,
     )

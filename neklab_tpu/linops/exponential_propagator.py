@@ -60,6 +60,7 @@ class ExponentialPropagator(LinearOperator):
         precondition: bool = True,
         adjoint_tol_factor: float = 0.1,
         chunk: int | None = None,
+        recycle: int = 0,
     ):
         """adjoint_tol_factor: the transposed implicit solves inherit the
         FORWARD program's tolerances (custom_linear_solve re-solves with the
@@ -75,7 +76,13 @@ class ExponentialPropagator(LinearOperator):
         monolithic single-program path for short horizons, DEFAULT_CHUNK-step
         chunks once nsteps exceeds DEFAULT_CHUNK_THRESHOLD (bounds the
         transposed-program size the TPU compiler must handle). 0 forces the
-        monolithic path; any positive value forces that chunk size."""
+        monolithic path; any positive value forces that chunk size.
+
+        recycle: if > 0, the FORWARD matvec deflates each step's E solve
+        against the last `recycle` solutions (Nek5000 residual projection,
+        param(93-95)) — same map to solver tolerance, fewer CG iterations.
+        rmatvec always transposes the recycle-free program (the basis update
+        is not structurally linear). Monolithic path only (chunk == 0)."""
         self.mesh = mesh
         self.base_u = base_u
         self.base_theta = (
@@ -121,6 +128,7 @@ class ExponentialPropagator(LinearOperator):
             self.chunk = DEFAULT_CHUNK if self.nsteps > DEFAULT_CHUNK_THRESHOLD else 0
         else:
             self.chunk = int(chunk)
+        self.recycle = int(recycle) if not self.chunk else 0
 
     def matvec(self, x: dict) -> dict:
         if self.chunk:
@@ -133,6 +141,7 @@ class ExponentialPropagator(LinearOperator):
             u, theta = propagate(
                 self.mesh, self.cfg, self.base_u, self.base_theta, x["u"], x["theta"], self.nsteps,
                 pc_e=self.pc_e, vdiag=self.vdiag, tdiags=self.tdiags,
+                recycle=self.recycle,
             )
         return {"u": u, "theta": theta}
 

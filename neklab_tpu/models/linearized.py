@@ -171,11 +171,17 @@ def step_lin(
     dt=None,
     conv_cache=None,
     emap=None,
+    pbasis=None,
 ) -> PertState:
     """One linearized BDF(order)/EXT(order) step (homogeneous BCs).
 
     emap: explicit-operator override (adjoint_explicit_lin_map for the
-    continuous-adjoint evolution used by transposed OTD)."""
+    continuous-adjoint evolution used by transposed OTD).
+
+    pbasis: optional E-solution recycling basis — threaded and RETURNED:
+    -> (state', pbasis'). The basis update is nonlinear in the data, so this
+    path must NOT appear in linear_transpose'd programs (adjoint propagators
+    transpose the recycle-free program; both agree to solver tolerance)."""
     fc = cfg.flow
     dt = fc.dt if dt is None else dt
     g0, betas = _BDF[order]
@@ -202,8 +208,11 @@ def step_lin(
 
     dt_over_g0 = dt / (g0 * fc.rho)
     psolve = make_pressure_solver(mesh, fc, dt_over_g0, pc=pc_e)
-    dp = psolve(-stokes.div_weak(mesh, ustar),
-                x0=(state.p - state.plag[0]) if fc.pextrap < 2 else None)
+    x0_p = (state.p - state.plag[0]) if fc.pextrap < 2 else None
+    if pbasis is not None:
+        dp, pbasis = psolve(-stokes.div_weak(mesh, ustar), x0=x0_p, basis=pbasis)
+    else:
+        dp = psolve(-stokes.div_weak(mesh, ustar), x0=x0_p)
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
     p_new = pstar + dp
@@ -226,7 +235,7 @@ def step_lin(
         theta_new = state.theta
 
     shift = lambda lag, cur: jnp.concatenate([cur[None], lag[:-1]], axis=0)
-    return PertState(
+    out = PertState(
         u=u_new,
         p=p_new,
         theta=theta_new,
@@ -236,6 +245,7 @@ def step_lin(
         ntlag=shift(state.ntlag, n_t),
         plag=jnp.stack([state.p]),
     )
+    return (out, pbasis) if pbasis is not None else out
 
 
 # ---------------------------------------------------------------------------
@@ -243,14 +253,20 @@ def step_lin(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "nsteps"))
-def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nsteps: int, pc_e=None, vdiag=None, tdiags=None):
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "recycle"))
+def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nsteps: int, pc_e=None, vdiag=None, tdiags=None, recycle: int = 0):
     """Linear map M: (u0, theta0) -> state after nsteps of the linearized
     solver, with a BDF1/2/3 self-starting ramp and zero initial pressure.
 
     This is the exponential-propagator matvec exp(tau A) (tau = nsteps*dt) —
     /root/reference/src/linops/exponential_propagator.f90:15-60 — as ONE
     compiled XLA program.
+
+    recycle: if > 0, deflate each step's E solve against the last `recycle`
+    solutions (Nek5000 residual projection). The output still equals the
+    recycle-free map to SOLVER tolerance (only the inner x0 improves), but
+    the program is no longer structurally linear — linear_transpose the
+    recycle=0 program for the adjoint (make_adjoint_propagator does).
     """
     fc = cfg.flow
     state = pert_initial(mesh, cfg, u0, theta0)
@@ -268,22 +284,29 @@ def propagate(mesh: SemMesh, cfg: LinConfig, base_u, base_theta, u0, theta0, nst
     # frozen-base dealias quantities: computed ONCE, reused by every step
     ccache = sem.lin_convect_cache(mesh, base_u, base_theta if fc.nscal else None)
 
+    from .navier_stokes import init_projection_basis
+
     n_ramp = min(fc.torder - 1, nsteps)
     for k in range(n_ramp):
         state = step_lin(mesh, cfg, state, base_u, base_theta, order=k + 1, pc_e=pc_e,
                          vdiag=vdiag3, tdiags=tdiags3, conv_cache=ccache)
 
     remaining = nsteps - n_ramp
+    # recycling starts AFTER the ramp: E scales with dt/g0, which changes
+    # with the BDF order (see navier_stokes.advance)
+    pbasis = init_projection_basis(mesh, recycle) if recycle else None
     if remaining > 0:
 
-        def body(s, _):
-            s = step_lin(
+        def body(carry, _):
+            s, pb = carry
+            out = step_lin(
                 mesh, cfg, s, base_u, base_theta, order=tmax, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e,
-                conv_cache=ccache,
+                conv_cache=ccache, pbasis=pb,
             )
-            return s, None
+            s, pb = out if recycle else (out, None)
+            return (s, pb), None
 
-        state, _ = lax.scan(body, state, None, length=remaining)
+        (state, _), _ = lax.scan(body, (state, pbasis), None, length=remaining)
     return state.u, state.theta
 
 

@@ -182,6 +182,65 @@ def helmholtz_solve(mesh, rhs_weak, h1, h2, mask, bc_val, tol, maxiter, diag):
     return ub + mask * (y / sqw)
 
 
+# ---------------------------------------------------------------------------
+# cross-solve solution recycling (Nek5000 residual projection, param(93-95))
+# ---------------------------------------------------------------------------
+
+
+def init_projection_basis(mesh: SemMesh, k: int):
+    """Empty rolling E-solution-recycling basis: (X, AX, count) with X the
+    A-orthonormal previous solutions and AX ~= A X (stored, never recomputed:
+    A x_i is the solve's own RHS at convergence — Nek5000's projection
+    scheme, param(93-95) semantics). Zero slots contribute nothing."""
+    shape = (k,) + mesh.bm2.shape
+    z = jnp.zeros(shape, mesh.bm2.dtype)
+    return (z, jnp.zeros_like(z), jnp.zeros((), jnp.int32))
+
+
+def _basis_project(basis, rhs):
+    """xbar, rhs' = rhs - A xbar with xbar the A-orthogonal projection of the
+    solution onto span(X): alpha_i = <x_i, rhs> (= <x_i, A x_true>). The
+    basis enters through stop_gradient so the rhs -> (xbar, rhs') map is
+    structurally LINEAR — linear_transpose'able programs stay transposable,
+    and since the downstream solve is exact (custom_linear_solve semantics),
+    the overall map is A^{-1} rhs for ANY basis value."""
+    X, AX, _ = basis
+    Xc = lax.stop_gradient(X)
+    AXc = lax.stop_gradient(AX)
+    alpha = jnp.einsum("k...,...->k", Xc, rhs)
+    xbar = jnp.einsum("k,k...->...", alpha, Xc)
+    return xbar, rhs - jnp.einsum("k,k...->...", alpha, AXc)
+
+
+def _basis_update(basis, delta, adelta, rtol):
+    """Append the new solution increment (A-Gram-Schmidt against the current
+    slots, rolling replacement). `adelta` is the solve's RHS, which equals
+    A delta only to the solver's ABSOLUTE residual tolerance `rtol` — so a
+    tiny increment's A-norm estimate is pure noise, and normalizing it
+    poisons the basis (norms ~1e8 then NaN observed). The update is SKIPPED
+    (old slots kept, count unchanged) unless the A-norm^2 dominates the
+    residual-noise bound ~ ||d|| * rtol. NOTE: makes the carried basis a
+    NONLINEAR function of the data — callers on transposable paths must keep
+    the basis OUT of the program (recycle=0)."""
+    X, AX, count = basis
+    k = X.shape[0]
+    delta = lax.stop_gradient(delta)
+    adelta = lax.stop_gradient(adelta)
+    beta = jnp.einsum("k...,...->k", X, adelta)
+    d = delta - jnp.einsum("k,k...->...", beta, X)
+    ad = adelta - jnp.einsum("k,k...->...", beta, AX)
+    nrm2 = jnp.sum(d * ad)
+    d2 = jnp.sum(d * d)
+    ok = nrm2 > 100.0 * jnp.sqrt(d2) * rtol
+    inv = jnp.where(ok, lax.rsqrt(jnp.where(ok, nrm2, 1.0)), 0.0)
+    slot = lax.rem(count, jnp.asarray(k, count.dtype))
+    X_new = lax.dynamic_update_index_in_dim(X, d * inv, slot, 0)
+    AX_new = lax.dynamic_update_index_in_dim(AX, ad * inv, slot, 0)
+    X = jnp.where(ok, X_new, X)
+    AX = jnp.where(ok, AX_new, AX)
+    return (X, AX, count + jnp.asarray(ok, count.dtype))
+
+
 def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0, pc=None):
     """Returns dp = solve(rhs) for the E operator at fixed dt/g0.
 
@@ -214,22 +273,36 @@ def make_pressure_solver(mesh: SemMesh, cfg: FlowConfig, dt_over_g0, pc=None):
 
         return pcg(matvec, proj(rhs), precond=precond, tol=cfg.ptol, maxiter=cfg.pmaxit)
 
-    def solve(rhs, x0=None):
+    def solve(rhs, x0=None, basis=None):
         """x0: optional warm-start guess (e.g. the previous step's pressure
         increment — Nek's `prabs`-style temporal extrapolation). Implemented
         as the variable shift dp = x0 + delta, E delta = rhs - E x0, so the
         guess enters custom_linear_solve through the RHS and the map stays
         exactly linear/transposable; cuts E-solve iterations ~35% on smooth
-        transients."""
+        transients.
+
+        basis: optional (X, AX, count) recycling basis (init_projection_basis).
+        The RHS is additionally deflated by the A-orthogonal projection onto
+        the span of previous solutions (Nek5000 residual projection,
+        param(93-95)) and the updated basis is returned: -> (dp, basis'). The
+        basis UPDATE is nonlinear in the data — use only on never-transposed
+        programs (nonlinear stepper, direct-only matvecs)."""
         if x0 is not None:
             x0 = proj(x0)
             rhs = rhs - e_apply(x0)
-        dp = lax.custom_linear_solve(op, proj(rhs), solve=inner_solve, symmetric=True)
+        rhs_p = proj(rhs)
+        if basis is not None:
+            xbar, rhs_p = _basis_project(basis, rhs_p)
+            rhs_p = proj(rhs_p)
+        dp = lax.custom_linear_solve(op, rhs_p, solve=inner_solve, symmetric=True)
+        if basis is not None:
+            basis = _basis_update(basis, dp, rhs_p, cfg.ptol)
+            dp = dp + xbar
         if x0 is not None:
             dp = dp + x0
         if pure:
             dp = stokes.remove_pressure_mean(mesh, dp)
-        return dp
+        return (dp, basis) if basis is not None else dp
 
     return solve
 
@@ -268,11 +341,15 @@ def step(
     tdiags=None,
     pc_e=None,
     dt=None,
+    pbasis=None,
 ) -> FlowState:
     """One BDF(order)/EXT(order) step of the nonlinear solver.
 
     dt may be a TRACED scalar (UPO period continuation varies dt at fixed
-    nsteps without recompiling); defaults to the static cfg.dt."""
+    nsteps without recompiling); defaults to the static cfg.dt.
+
+    pbasis: optional E-solution recycling basis (init_projection_basis) —
+    threaded through and RETURNED alongside the state: -> (state', pbasis')."""
     dt = cfg.dt if dt is None else dt
     g0, betas = _BDF[order]
     alphas = _EXT[order]
@@ -310,7 +387,11 @@ def step(
     # warm start: previous increment (pextrap=1 only — under extrapolation dp
     # is the second difference, for which p^n - p^{n-1} is a worse guess
     # than zero)
-    dp = psolve(rhs_p, x0=(state.p - state.plag[0]) if cfg.pextrap < 2 else None)
+    x0_p = (state.p - state.plag[0]) if cfg.pextrap < 2 else None
+    if pbasis is not None:
+        dp, pbasis = psolve(rhs_p, x0=x0_p, basis=pbasis)
+    else:
+        dp = psolve(rhs_p, x0=x0_p)
     du = stokes.pressure_correct_velocity(mesh, dp, dt_over_g0)
     u_new = ustar + du
     p_new = pstar + dp
@@ -338,7 +419,7 @@ def step(
 
     # ---- shift history ----
     shift = lambda lag, cur: jnp.concatenate([cur[None], lag[:-1]], axis=0)
-    return FlowState(
+    out = FlowState(
         u=u_new,
         p=p_new,
         theta=theta_new,
@@ -349,6 +430,7 @@ def step(
         plag=jnp.stack([state.p]),
         time=state.time + dt,
     )
+    return (out, pbasis) if pbasis is not None else out
 
 
 # ---------------------------------------------------------------------------
@@ -356,12 +438,18 @@ def step(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "nsteps", "ramp"))
-def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=None, tb=None, ramp: bool = True, pc_e=None, vdiag=None, tdiags=None, dt=None):
+@partial(jax.jit, static_argnames=("cfg", "nsteps", "ramp", "recycle"))
+def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=None, tb=None, ramp: bool = True, pc_e=None, vdiag=None, tdiags=None, dt=None, recycle: int = 0):
     """Integrate nsteps with a BDF1/2/3 startup ramp (self-starting: the map
     needs no externally supplied history, unlike the reference's
     compute_rst/get_rst lag plumbing — exponential_propagator.f90:109-142 —
-    which this design makes unnecessary)."""
+    which this design makes unnecessary).
+
+    recycle: if > 0, deflate each step's E solve by an A-orthogonal
+    projection onto the last `recycle` solutions (Nek5000 residual
+    projection, param(93-95)) carried in the scan. The nonlinear stepper is
+    never linear-transposed, so the data-dependent basis is safe here (jvp —
+    used by the UPO Newton — differentiates through it fine)."""
     vdiag3 = vdiag if vdiag is not None else helmholtz_diag(
         mesh, cfg.viscosity, cfg.rho * _BDF[min(cfg.torder, 3)][0] / cfg.dt, mesh.vmask
     )
@@ -379,11 +467,18 @@ def advance(mesh: SemMesh, cfg: FlowConfig, state: FlowState, nsteps: int, ub=No
     if remaining <= 0:
         return state
 
-    def body(s, _):
-        s = step(mesh, cfg, s, order=min(cfg.torder, 3), ub=ub, tb=tb, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e, dt=dt)
-        return s, None
+    # recycling starts AFTER the ramp: E scales with dt/g0, which changes
+    # with the BDF order, so ramp-step solutions pair with a different A and
+    # would poison the projection (O(1) solve errors observed)
+    pbasis = init_projection_basis(mesh, recycle) if recycle else None
 
-    state, _ = lax.scan(body, state, None, length=remaining)
+    def body(carry, _):
+        s, pb = carry
+        out = step(mesh, cfg, s, order=min(cfg.torder, 3), ub=ub, tb=tb, vdiag=vdiag3, tdiags=tdiags3, pc_e=pc_e, dt=dt, pbasis=pb)
+        s, pb = out if recycle else (out, None)
+        return (s, pb), None
+
+    (state, _), _ = lax.scan(body, (state, pbasis), None, length=remaining)
     return state
 
 

@@ -242,3 +242,31 @@ def test_clamp_cfl_warns():
     assert clamp_cfl(0.4) == 0.4
     assert clamp_cfl(0.9) == 0.5
     assert clamp_cfl(-1.0) == 0.5
+
+
+def test_recycled_solves_match_plain():
+    """E-solution recycling (Nek5000 residual projection, param(93-95)):
+    recycle=k deflates each step's pressure solve against previous solutions
+    but must reproduce the recycle-free map to SOLVER tolerance — linearized
+    and nonlinear. The projection only improves the inner x0; the output is
+    still the exact solve (custom_linear_solve semantics)."""
+    mesh = box_mesh(
+        (6, 5), ((0, 2 * np.pi), (-1, 1)),
+        {"x-": "P", "x+": "P", "y-": "W", "y+": "W"}, order=5,
+    )
+    y = mesh.x[1]
+    base = jnp.stack([1 - y**2, 0 * y])
+    th = jnp.zeros((0,) + mesh.bm1.shape)
+    u0 = mesh.vmask * jax.random.normal(jax.random.PRNGKey(0), (2,) + mesh.bm1.shape)
+    fc = FlowConfig(viscosity=2e-3, dt=5e-3, vtol=1e-12, ptol=1e-10)
+    cfg = LinConfig(flow=fc)
+    a, _ = propagate(mesh, cfg, base, th, u0, th, 30)
+    b, _ = propagate(mesh, cfg, base, th, u0, th, 30, recycle=6)
+    scale = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 1e-7 * scale
+
+    un = mesh.vmask * (base + 0.3 * jax.random.normal(jax.random.PRNGKey(1), (2,) + mesh.bm1.shape))
+    st = initial_state(mesh, fc, u=un)
+    s1 = advance(mesh, fc, st, 30)
+    s2 = advance(mesh, fc, st, 30, recycle=6)
+    assert float(jnp.abs(s1.u - s2.u).max()) < 1e-7 * float(jnp.abs(s1.u).max())
