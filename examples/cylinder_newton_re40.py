@@ -83,7 +83,9 @@ def main():
     # inflow/freestream BC values live in the mesh masks; the Dirichlet data
     # comes from the initial guess itself (it satisfies the BCs)
     ub = u0
-    sysm = FixedPointSystem(mesh, cfg, tau=args.tau, ub=ub, cfl=0.5)
+    # recycle=8: Nek residual-projection deflation of the E solves — exact to
+    # solver tolerance, large CG-iteration savings at f64 tolerances
+    sysm = FixedPointSystem(mesh, cfg, tau=args.tau, ub=ub, cfl=0.5, recycle=8)
     space = flow_vector_space(mesh, 0)
     x0 = flow_vector(mesh, 0, u=u0)
 

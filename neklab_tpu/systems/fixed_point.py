@@ -45,8 +45,15 @@ class FixedPointSystem(NonlinearSystem):
         dt: float | None = None,
         exact_jacobian: bool = False,
         precondition: bool = True,
+        recycle: int = 0,
     ):
+        """recycle: deflate each step's E solve against the last `recycle`
+        solutions (Nek5000 residual projection) in the nonlinear map and the
+        jvp/vjp Jacobian paths — autodiff differentiates through the
+        stop_gradient'd basis fine; only the linear_transpose'd frozen
+        adjoint stays recycle-free (models/linearized.py)."""
         self.mesh = mesh
+        self.recycle = int(recycle)
         self.base_cfg = cfg
         self.tau = float(tau)
         self.ub = ub
@@ -80,7 +87,7 @@ class FixedPointSystem(NonlinearSystem):
         cfg, nsteps = self._derive(x["u"])
         st = initial_state(self.mesh, cfg.flow, u=x["u"], theta=x["theta"])
         out = advance(self.mesh, cfg.flow, st, nsteps, ub=self.ub, tb=self.tb,
-                      pc_e=self.pc_e)
+                      pc_e=self.pc_e, recycle=self.recycle)
         return {"u": out.u, "theta": out.theta}
 
     def response(self, x: dict) -> dict:
@@ -91,24 +98,26 @@ class FixedPointSystem(NonlinearSystem):
         cfg, nsteps = self._derive(x["u"])
         if self.exact_jacobian:
             return _ExactJacobian(self, x, cfg, nsteps)
-        return _FrozenJacobian(self.mesh, cfg, x, nsteps, pc_e=self.pc_e)
+        return _FrozenJacobian(self.mesh, cfg, x, nsteps, pc_e=self.pc_e,
+                               recycle=self.recycle)
 
 
 class _FrozenJacobian(LinearOperator):
     """[exp(tau J_X) - I] dx with frozen base flow X (reference semantics)."""
 
-    def __init__(self, mesh, cfg: LinConfig, x, nsteps, pc_e=None):
+    def __init__(self, mesh, cfg: LinConfig, x, nsteps, pc_e=None, recycle=0):
         self.mesh = mesh
         self.cfg = cfg
         self.x = x
         self.nsteps = nsteps
         self.pc_e = pc_e
+        self.recycle = int(recycle)
         self._adj = None
 
     def matvec(self, dx):
         u, theta = propagate(
             self.mesh, self.cfg, self.x["u"], self.x["theta"], dx["u"], dx["theta"], self.nsteps,
-            pc_e=self.pc_e,
+            pc_e=self.pc_e, recycle=self.recycle,
         )
         return {"u": u - dx["u"], "theta": theta - dx["theta"]}
 
@@ -136,7 +145,7 @@ class _ExactJacobian(LinearOperator):
         st = initial_state(self.system.mesh, self.cfg.flow, u=u, theta=theta)
         out = advance(
             self.system.mesh, self.cfg.flow, st, self.nsteps, ub=self.system.ub,
-            tb=self.system.tb, pc_e=self.system.pc_e,
+            tb=self.system.tb, pc_e=self.system.pc_e, recycle=self.system.recycle,
         )
         return out.u, out.theta
 
