@@ -550,7 +550,13 @@ def make_adjoint_propagator_chunked(mesh: SemMesh, cfg: LinConfig, base_u,
             fn = lambda st, _k=k, _r=ramp: propagate_chunk(
                 mesh, cfg, base_u, base_theta, st, _k, _r,
                 pc_e=pc_e, vdiag=vdiag, tdiags=tdiags)
-            transposes[(k, ramp)] = jax.linear_transpose(fn, state_ex)
+            # jit the transpose: linear_transpose alone re-interprets the
+            # chunk jaxpr (a k-step scan body) in Python on EVERY call —
+            # measured ~10s/chunk/call on the BFS tau=18 adjoint (the r5
+            # production run crawled at ~470 s/iteration before this). Under
+            # jit it traces once; the compiled program is one transposed
+            # k-step scan — exactly the bounded size chunking exists for.
+            transposes[(k, ramp)] = jax.jit(jax.linear_transpose(fn, state_ex))
 
     zeros_state = jax.tree_util.tree_map(
         lambda l: jnp.zeros(l.shape, l.dtype), state_ex)
