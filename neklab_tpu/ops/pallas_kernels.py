@@ -18,9 +18,13 @@ Design (TPU-first, not a translation):
     streamed per-tile.
 
 bench.py measures this kernel against the XLA `helmholtz_local` chain and
-records both; helmholtz_solve uses it when `use_pallas=True` is threaded in
-(see models/navier_stokes.py) — the XLA path remains the default wherever it
-measures faster.
+records both. MEASURED CONCLUSION (pinned; see docs/PERFORMANCE.md "Pallas
+vs XLA"): at the cyl1996 production size the XLA chain wins — the apply is
+latency/bandwidth-bound at a few MB of traffic and XLA's fusion already
+removes the intermediates this kernel was written to avoid. Nothing in the
+production path calls this kernel; it remains as the measured baseline for
+any future fused-kernel attempt (e.g. fusing dssum + mask + CG dots, where a
+real win would have to come from).
 """
 
 from __future__ import annotations
@@ -93,7 +97,7 @@ class HelmholtzPallas2D:
     ops.sem.helmholtz_local (same weak-form local operator, bit-compatible
     up to f32 reassociation)."""
 
-    def __init__(self, mesh: SemMesh, h1: float, h2: float, block_elems: int = 512):
+    def __init__(self, mesh: SemMesh, h1: float, h2: float, block_elems: int = 2048):
         if mesh.ndim != 2:
             raise ValueError("HelmholtzPallas2D is 2-D only")
         n = mesh.basis.n
