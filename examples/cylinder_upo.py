@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--order", type=int, default=5)
     ap.add_argument("--dt", type=float, default=0.01)
     ap.add_argument("--spin-chunks", type=int, default=400)
+    ap.add_argument("--newton-tol", type=float, default=None,
+                    help="override Newton tolerance (default 3e-4 f32 / 1e-7 f64)")
+    ap.add_argument("--newton-maxiter", type=int, default=20)
+    ap.add_argument("--floquet-kdim", type=int, default=32)
+    ap.add_argument("--floquet-tol", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -128,9 +133,10 @@ def main():
     sysm = PeriodicOrbitSystem(mesh, cfg, t_guess=period0, ub=ub)
     space = ext_flow_vector_space(mesh, 0)
     x0 = ext_flow_vector(mesh, 0, u=x0_u, T=period0)
-    newton_tol = 1e-7 if args.f64 else 3e-4
+    newton_tol = args.newton_tol if args.newton_tol is not None else (1e-7 if args.f64 else 3e-4)
     t0 = time.time()
-    nres = newton_fixed_point_iteration(sysm, x0, space, tol=newton_tol, maxiter=20, gmres_kdim=40)
+    nres = newton_fixed_point_iteration(sysm, x0, space, tol=newton_tol,
+                                        maxiter=args.newton_maxiter, gmres_kdim=40)
     print(
         f"UPO newton: converged={nres.converged} |F|={nres.residual_norm:.3e} "
         f"T={float(nres.x['T']):.5f} ({time.time()-t0:.0f}s)",
@@ -146,7 +152,8 @@ def main():
     mono = MonodromyOperator(sysm, nres.x)
     fspace = flow_vector_space(mesh, 0)
     t0 = time.time()
-    eres = eigs(mono, fspace, nev=3, kdim=32, tol=1e-5 if not args.f64 else 1e-7, maxiter=8)
+    ftol = args.floquet_tol if args.floquet_tol is not None else (1e-5 if not args.f64 else 1e-7)
+    eres = eigs(mono, fspace, nev=3, kdim=args.floquet_kdim, tol=ftol, maxiter=8)
     mus = eres.eigvals
     print(f"Floquet multipliers: {np.round(mus, 5)} ({time.time()-t0:.0f}s)", flush=True)
     print("|mu| =", np.abs(mus), " (a neutral multiplier ~1.0 must exist: phase mode)")
@@ -159,6 +166,7 @@ def main():
         "period": float(nres.x["T"]),
         "newton_converged": bool(nres.converged),
         "newton_residual": float(nres.residual_norm),
+        "newton_history": [float(h) for h in nres.history],
         "floquet_mus": [[m.real, m.imag] for m in mus],
         "floquet_abs": [float(a) for a in np.abs(mus)],
         "neutral_multiplier_dev": float(np.min(np.abs(np.abs(mus) - 1.0))),
