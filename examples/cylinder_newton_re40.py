@@ -43,6 +43,13 @@ def main():
                          "3e-7 lowers the f32 response floor ~10x and shows "
                          "two more decades of Newton contraction)")
     ap.add_argument("--ptol", type=float, default=None)
+    ap.add_argument("--save-state", default=None,
+                    help="save the converged base flow u as .npz")
+    ap.add_argument("--init-state", default=None,
+                    help="start Newton from a saved state instead of BF.fld "
+                         "(the f32 TPU -> f64 CPU refinement path: the f64 "
+                         "run then needs only 1-2 Newton steps)")
+    ap.add_argument("--maxiter", type=int, default=20)
     args = ap.parse_args()
 
     import jax
@@ -76,6 +83,12 @@ def main():
     mesh = mesh_from_re2(f"{REF}/1cyl.re2", order=5, dealias_order=8, dtype=dtype)
     bf = read_fld(f"{REF}/BF.fld")
     u0 = jnp.asarray(bf.u, dtype)
+    if args.init_state:
+        import numpy as _np
+
+        with _np.load(args.init_state) as z:
+            u0 = jnp.asarray(z["u"], dtype)
+        print(f"init from {args.init_state}", flush=True)
     print(f"mesh: {mesh.nel} elements; initial guess BF.fld t={bf.time}", flush=True)
 
     fc = FlowConfig(viscosity=1.0 / 40.0, dt=1e9, **tols)
@@ -90,8 +103,8 @@ def main():
     x0 = flow_vector(mesh, 0, u=u0)
 
     t1 = time.time()
-    nres = newton_fixed_point_iteration(sysm, x0, space, tol=tol, maxiter=20,
-                                        gmres_kdim=40)
+    nres = newton_fixed_point_iteration(sysm, x0, space, tol=tol,
+                                        maxiter=args.maxiter, gmres_kdim=40)
     elapsed = time.time() - t1
     hist = [float(h) for h in nres.history]
     # contraction factors r_{k+1}/r_k (superlinear: decreasing ratios until
@@ -121,6 +134,9 @@ def main():
     print(json.dumps(out), flush=True)
     print(f"newton Re40: converged={out['newton_converged']} "
           f"|F|={out['newton_residual']:.3e} history={hist}", flush=True)
+    if args.save_state:
+        np.savez(args.save_state, u=np.asarray(nres.x["u"]))
+        print(f"saved state to {args.save_state}", flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
