@@ -80,13 +80,19 @@ def newton(
 
         inner_tol = scheduler(rnorm, it)
         jac = system.jacobian(x)
+        # the scheduler's value is an ABSOLUTE inner-residual tolerance (the
+        # reference's nek_dynamic_tol semantics: clamp(0.1*||r||, target,
+        # 1e-4) => inexact-Newton forcing eta = atol/||r|| <= 0.1). Passing
+        # it as gmres rtol re-scales by ||b|| = ||r|| — a double-relative
+        # target eta*||r|| that over-solved every inner system by 1/||r||
+        # (measured: the f64 Re40 run chased 1e-7 where 4.9e-5 was asked).
         sol = gmres(
             jac,
             tree_scale(-1.0, r),
             space,
             kdim=gmres_kdim,
-            rtol=inner_tol,
-            atol=0.1 * tol,
+            rtol=0.0,
+            atol=max(inner_tol, 0.1 * tol),
             max_restarts=gmres_max_restarts,
         )
         dx = sol.x
